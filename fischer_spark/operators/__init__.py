@@ -1,0 +1,35 @@
+from fischer_spark.operators.series import build_series
+from fischer_spark.operators.rollup import (
+    rollup_points,
+    rollup_states,
+    rollup_points_salted,
+    with_derived_stats,
+    tiered_rollups,
+)
+from fischer_spark.operators.gapfill import bucket_spine, gapfill_locf, gapfill_linear
+from fischer_spark.operators.detect import (
+    zscore_window,
+    zscore_grouped_arrow,
+    seasonal_profile,
+    seasonal_score,
+    seasonal_score_grouped_arrow,
+    anomaly_intervals,
+)
+
+__all__ = [
+    "build_series",
+    "rollup_points",
+    "rollup_states",
+    "rollup_points_salted",
+    "with_derived_stats",
+    "tiered_rollups",
+    "bucket_spine",
+    "gapfill_locf",
+    "gapfill_linear",
+    "zscore_window",
+    "zscore_grouped_arrow",
+    "seasonal_profile",
+    "seasonal_score",
+    "seasonal_score_grouped_arrow",
+    "anomaly_intervals",
+]

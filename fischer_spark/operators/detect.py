@@ -1,0 +1,226 @@
+"""O26/O27/O28 — fischer-style anomaly detectors + interval assembly.
+
+The capability contract (BASELINE.json north_star): "rolling mean/stddev
+z-score and seasonal (hour-of-day/day-of-week) profile deviation … as
+grouped Arrow UDFs, producing scored anomaly intervals".
+
+Both detectors exist in TWO forms that must agree to 1e-9 (SURVEY.md §5.6):
+- a Catalyst-native window/groupBy form (whole-stage codegen, the fast
+  path and the DuckDB-oracle-expressible one), and
+- a grouped-Arrow-UDF form (`applyInPandas` with pandas rolling), the
+  form the north star names explicitly.
+
+Semantics (frozen — golden fixtures pin these):
+- z-score: z_t = (x_t − mean(x_{t−W..t−1})) / stddev_samp(x_{t−W..t−1});
+  defined only when the trailing window has ≥ min_periods points and
+  stddev > 0.  The window EXCLUDES the current point (a spike must not
+  inflate its own baseline).
+- seasonal: profile mean/stddev per (key, hour-of-day, day-of-week) over
+  the whole history; score = (x − slot_mean)/slot_stddev.
+- intervals: consecutive over-threshold buckets (|score| > tau) merge into
+  one interval (gaps-and-islands); scored by peak/mean |score| and length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY_COLS = ["domain", "metric", "tag"]
+
+_SCORED_FIELDS = (
+    "domain string, metric string, tag string, bucket_ts timestamp, "
+    "value double, mu double, sd double, score double"
+)
+
+
+def zscore_window(
+    series: DataFrame,
+    w: int = 24,
+    min_periods: int = 8,
+    value_col: str = "value",
+) -> DataFrame:
+    """Catalyst-native rolling z-score over a trailing, current-exclusive
+    row window. Output: key, bucket_ts, value, mu, sd, score."""
+    win = (
+        Window.partitionBy(*KEY_COLS)
+        .orderBy("bucket_ts")
+        .rowsBetween(-w, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(win)
+    # mu/sd derive from EXACT decimal window states (sum, sum_sq) rather
+    # than native avg/stddev: bit-identical across engines and partition
+    # orders for integral-valued series, so threshold crossings (and hence
+    # interval membership) never flip on 1e-15 accumulation noise.  Same
+    # algebra as the rollup tiers (SURVEY.md §7 hard-part 1).
+    s = F.sum(v.cast("decimal(38,18)")).over(win).cast("double")
+    sq = F.sum((v * v).cast("decimal(38,12)")).over(win).cast("double")
+    nd = n.cast("double")
+    var = (sq - s * s / nd) / (nd - F.lit(1.0))
+    # mu/sd are defined only once the trailing window holds >= min_periods
+    # points — matches pandas rolling(min_periods=...) in the Arrow form.
+    gate = n >= F.greatest(F.lit(min_periods), F.lit(2))
+    mu = F.when(gate, s / nd)
+    sd = F.when(gate, F.sqrt(F.greatest(var, F.lit(0.0))))
+    score = F.when(sd > 0, (v - mu) / sd).otherwise(F.lit(None).cast("double"))
+    return series.select(
+        *KEY_COLS,
+        "bucket_ts",
+        v.cast("double").alias("value"),
+        mu.alias("mu"),
+        sd.alias("sd"),
+        score.alias("score"),
+    )
+
+
+def zscore_grouped_arrow(
+    series: DataFrame,
+    w: int = 24,
+    min_periods: int = 8,
+    value_col: str = "value",
+) -> DataFrame:
+    """Grouped-Arrow-UDF form of the same detector: one pandas DataFrame
+    per series key, pandas `rolling` on the shifted values. Must agree
+    with `zscore_window` to 1e-9 (cross-check test, SURVEY.md §5.6)."""
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        x = pdf[value_col].astype("float64")
+        prev = x.shift(1)  # trailing window excludes current point
+        mu = prev.rolling(window=w, min_periods=min_periods).mean()
+        sd = prev.rolling(window=w, min_periods=min_periods).std(ddof=1)
+        score = (x - mu) / sd
+        score[~(sd > 0)] = float("nan")
+        out = pdf[KEY_COLS + ["bucket_ts"]].copy()
+        out["value"] = x
+        out["mu"] = mu
+        out["sd"] = sd
+        out["score"] = score
+        return out
+
+    src = series.select(*KEY_COLS, "bucket_ts", F.col(value_col).alias(value_col))
+    return src.groupBy(*KEY_COLS).applyInPandas(_score, schema=_SCORED_FIELDS)
+
+
+def seasonal_profile(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-(key, hour-of-day, day-of-week) mean/stddev profile.
+    dayofweek is Spark semantics: 1=Sunday … 7=Saturday."""
+    return series.groupBy(
+        *KEY_COLS,
+        F.hour("bucket_ts").alias("hod"),
+        F.dayofweek("bucket_ts").alias("dow"),
+    ).agg(
+        F.avg(value_col).alias("slot_mean"),
+        F.stddev_samp(value_col).alias("slot_sd"),
+        F.count(value_col).alias("slot_n"),
+    )
+
+
+def seasonal_score(
+    series: DataFrame,
+    profile: DataFrame | None = None,
+    min_slot_n: int = 3,
+    value_col: str = "value",
+) -> DataFrame:
+    """Score each point against its seasonal slot.  The profile side is
+    tiny (keys × 168 slots) → broadcast join, no shuffle of the points."""
+    if profile is None:
+        profile = seasonal_profile(series, value_col)
+    # tag is nullable (crawl_rate/page_size carry tag=NULL) and NULL join
+    # keys never match — join on a null-safe sentinel instead.
+    sentinel = "\x00"
+    pts = (
+        series.withColumn("hod", F.hour("bucket_ts"))
+        .withColumn("dow", F.dayofweek("bucket_ts"))
+        .withColumn("_tagk", F.coalesce(F.col("tag"), F.lit(sentinel)))
+    )
+    prof = profile.withColumn(
+        "_tagk", F.coalesce(F.col("tag"), F.lit(sentinel))
+    ).drop("tag")
+    joined = pts.join(
+        F.broadcast(prof), on=["domain", "metric", "_tagk", "hod", "dow"], how="left"
+    )
+    v = F.col(value_col)
+    score = F.when(
+        (F.col("slot_n") >= min_slot_n) & (F.col("slot_sd") > 0),
+        (v - F.col("slot_mean")) / F.col("slot_sd"),
+    ).otherwise(F.lit(None).cast("double"))
+    return joined.select(
+        *KEY_COLS,
+        "bucket_ts",
+        v.cast("double").alias("value"),
+        F.col("slot_mean").alias("mu"),
+        F.col("slot_sd").alias("sd"),
+        score.alias("score"),
+    )
+
+
+def seasonal_score_grouped_arrow(
+    series: DataFrame, min_slot_n: int = 3, value_col: str = "value"
+) -> DataFrame:
+    """Grouped-Arrow-UDF form of the seasonal detector (north-star-named
+    form); agrees with `seasonal_score` to 1e-9."""
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        x = pdf[value_col].astype("float64")
+        ts = pd.to_datetime(pdf["bucket_ts"])
+        hod = ts.dt.hour
+        dow = (ts.dt.dayofweek + 1) % 7 + 1  # pandas Mon=0 → Spark Sun=1
+        slot = hod * 10 + dow
+        g = x.groupby(slot)
+        mu = g.transform("mean")
+        sd = g.transform(lambda s: s.std(ddof=1))
+        n = g.transform("count")
+        score = (x - mu) / sd
+        score[~((sd > 0) & (n >= min_slot_n))] = float("nan")
+        out = pdf[KEY_COLS + ["bucket_ts"]].copy()
+        out["value"] = x
+        out["mu"] = mu
+        out["sd"] = sd
+        out["score"] = score
+        return out
+
+    src = series.select(*KEY_COLS, "bucket_ts", F.col(value_col).alias(value_col))
+    return src.groupBy(*KEY_COLS).applyInPandas(_score, schema=_SCORED_FIELDS)
+
+
+def anomaly_intervals(
+    scored: DataFrame, tau: float = 3.0, tier: str = "1h", detector: str = "zscore"
+) -> DataFrame:
+    """Gaps-and-islands: merge consecutive |score| > tau buckets into
+    scored intervals (O28)."""
+    w = Window.partitionBy(*KEY_COLS).orderBy("bucket_ts")
+    flagged = scored.withColumn("is_anom", F.abs(F.col("score")) > tau)
+    edged = flagged.withColumn(
+        "edge",
+        (
+            F.col("is_anom")
+            & ~F.coalesce(F.lag("is_anom").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn("island", F.sum("edge").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        edged.filter(F.col("is_anom"))
+        .groupBy(*KEY_COLS, "island")
+        .agg(
+            F.min("bucket_ts").alias("interval_start"),
+            F.max("bucket_ts").alias("interval_end"),
+            F.max(F.abs(F.col("score"))).alias("peak_score"),
+            F.avg(F.abs(F.col("score"))).alias("mean_score"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .withColumn("tier", F.lit(tier))
+        .withColumn("detector", F.lit(detector))
+        .select(
+            *KEY_COLS,
+            "tier",
+            "detector",
+            "interval_start",
+            "interval_end",
+            "peak_score",
+            "mean_score",
+            "n_points",
+        )
+    )

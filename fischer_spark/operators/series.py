@@ -1,0 +1,72 @@
+"""M3 — series builders: pages table → canonical long series-point form.
+
+Three mandated series families (BASELINE.json north_star):
+- crawl_rate: pages per (domain, minute)           [tag = NULL]
+- page_size:  bytes of html per capture            [tag = NULL, raw ts]
+- lang_mix:   per-minute share per (domain, lang)  [tag = lang]
+
+All three are pure built-in column algebra — one shuffle each (the
+groupBy), no UDFs.  lang_mix's share derives from exact counts, so the
+value is a ratio of integers: deterministic under any partitioning
+(SURVEY.md §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY_COLS = ["domain", "metric", "tag"]
+SERIES_COLS = ["domain", "metric", "tag", "bucket_ts", "value"]
+
+
+def crawl_rate_series(pages: DataFrame) -> DataFrame:
+    """Pages per (domain, minute). Requires a `domain` column (with_url_parts)."""
+    return (
+        pages.groupBy("domain", F.date_trunc("minute", "warc_ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("crawl_rate"))
+        .withColumn("tag", F.lit(None).cast("string"))
+        .select(*SERIES_COLS)
+    )
+
+
+def page_size_series(pages: DataFrame) -> DataFrame:
+    """html bytes per capture — raw-granularity points (ts = warc_ts)."""
+    return pages.select(
+        F.col("domain"),
+        F.lit("page_size").alias("metric"),
+        F.lit(None).cast("string").alias("tag"),
+        F.col("warc_ts").alias("bucket_ts"),
+        F.octet_length("html").cast("double").alias("value"),
+    )
+
+
+def lang_mix_series(pages: DataFrame) -> DataFrame:
+    """Per-minute language share per (domain, lang): exact count ratio."""
+    counts = pages.groupBy(
+        "domain", F.date_trunc("minute", "warc_ts").alias("bucket_ts"), "lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # share = lang count / bucket total; the window repartitions on a prefix
+    # of the groupBy keys so AQE coalesces it cheaply
+    total = F.sum("n").over(Window.partitionBy("domain", "bucket_ts"))
+    return (
+        counts.withColumn("value", (F.col("n") / total).cast("double"))
+        .withColumn("metric", F.lit("lang_mix"))
+        .withColumnRenamed("lang", "tag")
+        .select(*SERIES_COLS)
+    )
+
+
+def build_series(pages: DataFrame, families: tuple[str, ...] = ("crawl_rate", "page_size", "lang_mix")) -> DataFrame:
+    """Union of the requested series families in canonical long form."""
+    builders = {
+        "crawl_rate": crawl_rate_series,
+        "page_size": page_size_series,
+        "lang_mix": lang_mix_series,
+    }
+    dfs = [builders[f](pages) for f in families]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

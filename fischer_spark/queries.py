@@ -1,0 +1,376 @@
+"""Driver-contract query registry (SURVEY.md §3.3).
+
+Each entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` built from the
+engine's operators, paired with ANSI SQL that DuckDB runs over the same
+parquet views.  The driver hash-compares values, so every aggregate is
+computed ORDER-FREE in both engines:
+
+  - sums go through exact DECIMAL accumulation, cast to double at the end;
+  - mean/stddev are derived from those exact states with identical double
+    arithmetic on both sides (IEEE 754 ops are deterministic);
+  - never a bare sum()/avg()/stddev() over doubles in a hash-gated query.
+
+The `events` table is the oracle-side time-series fixture (FIXTURES.md §4):
+event_type plays the series key ("domain"), ts the time axis.  The real
+pages pipeline runs on synth_pages and is covered by pytest + bench.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.detect import anomaly_intervals, zscore_window
+from fischer_spark.operators.gapfill import gapfill_linear, gapfill_locf
+from fischer_spark.operators.rollup import (
+    rollup_points,
+    rollup_points_salted,
+    rollup_states,
+    with_derived_stats,
+)
+from fischer_spark.sources.testdata import scan_testdata
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# shared shapes
+# --------------------------------------------------------------------------
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical series form: key=event_type, value=events.value."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("domain"),
+        F.lit("event_value").alias("metric"),
+        F.lit(None).cast("string").alias("tag"),
+        F.col("ts").alias("bucket_ts"),
+        F.col("value").alias("value"),
+    )
+
+
+def _events_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate series per event_type (crawl_rate analogue)."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("domain"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("event_rate"))
+        .withColumn("tag", F.lit(None).cast("string"))
+        .select("domain", "metric", "tag", "bucket_ts", "value")
+    )
+
+
+_HOURLY_RATE_SQL = """
+  SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _derived_select(df: DataFrame) -> DataFrame:
+    return with_derived_stats(df).select(
+        F.col("domain").alias("series_key"),
+        "bucket_ts",
+        "cnt",
+        F.col("sum").cast("double").alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        "mean",
+        F.col("stddev").alias("stddev_v"),
+    )
+
+
+_STATE_SQL_BODY = """
+  SELECT domain AS series_key, bucket_ts, cnt,
+         CAST(s AS DOUBLE) AS sum_v, min_v, max_v,
+         CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+         CASE WHEN cnt < 2 THEN NULL ELSE
+           sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
+         END AS stddev_v
+  FROM states
+"""
+
+
+# --------------------------------------------------------------------------
+# O9/O17 — tiered rollups on events
+# --------------------------------------------------------------------------
+
+@register(
+    "rollup_1h_events",
+    f"""
+    WITH states AS (
+      SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    {_STATE_SQL_BODY}
+    """,
+)
+def rollup_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derived_select(rollup_points(_events_series(spark, sf_dir), "1h"))
+
+
+@register(
+    "rollup_1d_cascade_events",
+    f"""
+    WITH states AS (
+      SELECT event_type AS domain, date_trunc('day', ts) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    {_STATE_SQL_BODY}
+    """,
+)
+def rollup_1d_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1d tier computed by CASCADING 1m→1h→1d states; the oracle aggregates
+    raw directly — passing proves exact tier composition (the north-rule
+    'matching rolled-up points at each retention tier' surface)."""
+    pts = _events_series(spark, sf_dir)
+    t1m = rollup_points_salted(pts, "1m", salt_k=8)
+    t1h = rollup_states(t1m, "1h")
+    return _derived_select(rollup_states(t1h, "1d"))
+
+
+# --------------------------------------------------------------------------
+# O24/O25 — gap-fill on the hourly event-rate series
+# --------------------------------------------------------------------------
+
+_SPINE_SQL = f"""
+  WITH pts AS ({_HOURLY_RATE_SQL}),
+  ext AS (SELECT domain, min(bucket_ts) AS t0, max(bucket_ts) AS t1 FROM pts GROUP BY 1),
+  spine AS (
+    SELECT domain, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket_ts
+    FROM ext
+  ),
+  dense AS (
+    SELECT s.domain, s.bucket_ts, p.value
+    FROM spine s LEFT JOIN pts p USING (domain, bucket_ts)
+  )
+"""
+
+
+@register(
+    "gapfill_locf_events",
+    _SPINE_SQL
+    + """
+  SELECT domain AS series_key, bucket_ts, value,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY domain ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+         value IS NULL AS was_gap
+  FROM dense
+""",
+)
+def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = gapfill_locf(_events_hourly_rate(spark, sf_dir), "1h")
+    return out.select(
+        F.col("domain").alias("series_key"), "bucket_ts", "value", "value_filled", "was_gap"
+    )
+
+
+@register(
+    "gapfill_linear_events",
+    _SPINE_SQL
+    + """
+  , w AS (
+    SELECT domain, bucket_ts, value,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY domain ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+             PARTITION BY domain ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(value IGNORE NULLS) OVER (
+             PARTITION BY domain ORDER BY bucket_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+             PARTITION BY domain ORDER BY bucket_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM dense
+  )
+  SELECT domain AS series_key, bucket_ts, value,
+         CASE WHEN value IS NOT NULL THEN value
+              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + (nv - pv) * ((epoch(bucket_ts) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+              ELSE NULL END AS value_filled,
+         value IS NULL AS was_gap
+  FROM w
+""",
+)
+def gapfill_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = gapfill_linear(_events_hourly_rate(spark, sf_dir), "1h")
+    return out.select(
+        F.col("domain").alias("series_key"), "bucket_ts", "value", "value_filled", "was_gap"
+    )
+
+
+# --------------------------------------------------------------------------
+# O26/O28 — rolling z-score + anomaly intervals on hourly event rate
+# --------------------------------------------------------------------------
+
+# mirrors zscore_window's exact-decimal window states — bit-identical
+_ZSCORE_SQL = f"""
+  WITH pts AS ({_HOURLY_RATE_SQL}),
+  st AS (
+    SELECT domain, bucket_ts, value,
+           count(value) OVER w AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE) AS s,
+           CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sq
+    FROM pts
+    WINDOW w AS (PARTITION BY domain ORDER BY bucket_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+  ),
+  scored AS (
+    SELECT domain, bucket_ts, value,
+           CASE WHEN n >= 8 THEN s / CAST(n AS DOUBLE) END AS mu,
+           CASE WHEN n >= 8 THEN
+             sqrt(greatest((sq - s * s / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0), 0.0)) END AS sd
+    FROM st
+  )
+  SELECT domain AS series_key, bucket_ts, value, mu, sd,
+         CASE WHEN sd > 0 THEN (value - mu) / sd END AS score
+  FROM scored
+"""
+
+
+@register("zscore_events_1h", _ZSCORE_SQL)
+def zscore_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = zscore_window(_events_hourly_rate(spark, sf_dir), w=24, min_periods=8)
+    return scored.select(
+        F.col("domain").alias("series_key"), "bucket_ts", "value", "mu", "sd", "score"
+    )
+
+
+@register(
+    "anomaly_intervals_events",
+    f"""
+  WITH scored_base AS ({_ZSCORE_SQL}),
+  flagged AS (
+    SELECT series_key, bucket_ts, score,
+           coalesce(abs(score) > 2.0, FALSE) AS is_anom
+    FROM scored_base
+  ),
+  edged AS (
+    SELECT *, CASE WHEN is_anom AND NOT coalesce(
+                 lag(is_anom) OVER (PARTITION BY series_key ORDER BY bucket_ts), FALSE)
+               THEN 1 ELSE 0 END AS edge
+    FROM flagged
+  ),
+  islands AS (
+    SELECT *, sum(edge) OVER (PARTITION BY series_key ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM edged
+  )
+  SELECT series_key, min(bucket_ts) AS interval_start, max(bucket_ts) AS interval_end,
+         max(abs(score)) AS peak_score, count(*) AS n_points
+  FROM islands WHERE is_anom
+  GROUP BY series_key, island
+""",
+)
+def anomaly_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = zscore_window(_events_hourly_rate(spark, sf_dir), w=24, min_periods=8)
+    ivals = anomaly_intervals(scored, tau=2.0, tier="1h", detector="zscore")
+    return ivals.select(
+        F.col("domain").alias("series_key"),
+        "interval_start",
+        "interval_end",
+        "peak_score",
+        "n_points",
+    )
+
+
+# --------------------------------------------------------------------------
+# O27 — seasonal profile (hour-of-day / day-of-week) on events
+# --------------------------------------------------------------------------
+
+@register(
+    "seasonal_profile_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  states AS (
+    SELECT domain, hour(bucket_ts) AS hod, dayofweek(bucket_ts) + 1 AS dow,
+           count(value) AS cnt,
+           sum(CAST(value AS DECIMAL(28,6))) AS s,
+           sum(CAST(value * value AS DECIMAL(28,12))) AS sq
+    FROM pts GROUP BY 1, 2, 3
+  )
+  SELECT domain AS series_key, hod, dow, cnt,
+         CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS slot_mean,
+         CASE WHEN cnt < 2 THEN NULL ELSE
+           sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
+         END AS slot_sd
+  FROM states
+""",
+)
+def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal slots with exact-state mean/stddev (order-free, hash-safe).
+    Spark dayofweek (1=Sun) == DuckDB dayofweek (0=Sun) + 1."""
+    pts = _events_hourly_rate(spark, sf_dir)
+    states = pts.groupBy(
+        F.col("domain"),
+        F.hour("bucket_ts").alias("hod"),
+        F.dayofweek("bucket_ts").alias("dow"),
+    ).agg(
+        F.count("value").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)")).alias("sq"),
+    )
+    n = F.col("cnt").cast("double")
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return states.select(
+        F.col("domain").alias("series_key"),
+        "hod",
+        "dow",
+        "cnt",
+        (s / n).alias("slot_mean"),
+        F.when(F.col("cnt") < 2, F.lit(None).cast("double"))
+        .otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias("slot_sd"),
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # import registers the extended surfaces (contract + webtext operators)
+    import fischer_spark.queries_contract  # noqa: F401
+    import fischer_spark.queries_webtext  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    import fischer_spark.queries_contract  # noqa: F401
+    import fischer_spark.queries_webtext  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,87 @@
+"""Detector tests: cross-check the Catalyst-window form against the
+grouped-Arrow-UDF form (SURVEY.md §5.6), interval assembly, and planted
+anomaly recovery on the synthetic pages table."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.detect import (
+    anomaly_intervals,
+    seasonal_score,
+    seasonal_score_grouped_arrow,
+    zscore_grouped_arrow,
+    zscore_window,
+)
+from fischer_spark.operators.series import crawl_rate_series
+
+from tests.conftest import assert_df_equal
+
+
+def _series(spark, values, start_hour=0):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("d.example", "m", None, t0 + timedelta(hours=start_hour + i), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "domain string, metric string, tag string, bucket_ts timestamp, value double",
+    )
+
+
+def test_zscore_flags_spike(spark):
+    vals = [10.0, 11, 10, 9, 10, 11, 10, 9, 10, 11, 100, 10, 9]
+    scored = zscore_window(_series(spark, vals), w=8, min_periods=4)
+    rows = {r.bucket_ts.hour: r.score for r in scored.collect()}
+    assert rows[10] is not None and abs(rows[10]) > 3
+    # early points have no score (window too small)
+    assert rows[0] is None and rows[3] is None
+
+
+def test_zscore_window_vs_arrow(spark, pages):
+    pts = crawl_rate_series(pages.filter(F.col("domain").isin(
+        "d000.example", "d001.example", "d005.example")))
+    a = zscore_window(pts, w=24, min_periods=8)
+    b = zscore_grouped_arrow(pts, w=24, min_periods=8)
+    assert_df_equal(a, b, tol=1e-9)
+
+
+def test_seasonal_window_vs_arrow(spark, pages):
+    pts = crawl_rate_series(pages.filter(F.col("domain").isin(
+        "d002.example", "d004.example")))
+    a = seasonal_score(pts, min_slot_n=2)
+    b = seasonal_score_grouped_arrow(pts, min_slot_n=2)
+    assert_df_equal(a, b, tol=1e-9)
+
+
+def test_interval_assembly(spark):
+    # islands at hours 3-4 and 8 (scores over tau=3), rest quiet
+    scores = [0, 1, 0, 5, 6, 0, 1, 0, -4, 0]
+    df = _series(spark, scores).withColumnRenamed("value", "score")
+    df = df.withColumn("value", F.lit(1.0)).withColumn("mu", F.lit(0.0)).withColumn("sd", F.lit(1.0))
+    out = anomaly_intervals(df, tau=3.0).orderBy("interval_start").collect()
+    assert len(out) == 2
+    assert out[0].interval_start.hour == 3 and out[0].interval_end.hour == 4
+    assert out[0].n_points == 2 and out[0].peak_score == 6.0
+    assert out[1].interval_start.hour == 8 and out[1].n_points == 1
+    assert out[1].peak_score == 4.0  # abs of -4
+
+
+def test_planted_crawl_spike_detected(pages):
+    """Synthetic domain d000 has a crawl-rate spike on day 5 hours 10-14;
+    the hourly z-score detector must emit an interval covering it."""
+    pts = crawl_rate_series(pages.filter(F.col("domain") == "d000.example"))
+    from fischer_spark.operators.rollup import rollup_points, with_derived_stats
+
+    hourly = with_derived_stats(rollup_points(pts, "1h")).select(
+        "domain", "metric", "tag", "bucket_ts", F.col("sum").cast("double").alias("value")
+    )
+    scored = zscore_window(hourly, w=24, min_periods=8)
+    ivals = anomaly_intervals(scored, tau=3.0).collect()
+    assert any(
+        iv.interval_start.day == 6 and 10 <= iv.interval_start.hour <= 14 for iv in ivals
+    ), [(iv.interval_start, iv.peak_score) for iv in ivals]

@@ -1,0 +1,75 @@
+"""Tier-parity invariants (SURVEY.md §5.2) — the heart of the engine:
+continuous aggregates must compose EXACTLY across tiers and be invariant
+to partitioning / salting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.rollup import (
+    rollup_points,
+    rollup_points_salted,
+    rollup_states,
+    tiered_rollups,
+    with_derived_stats,
+)
+from fischer_spark.operators.series import build_series
+
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def points(pages):
+    return build_series(pages).cache()
+
+
+def test_tier_parity_1m_to_1h(points):
+    direct = rollup_points(points, "1h")
+    cascaded = rollup_states(rollup_points(points, "1m"), "1h")
+    assert_df_equal(direct, cascaded)
+
+
+def test_tier_parity_1h_to_1d(points):
+    direct = rollup_points(points, "1d")
+    cascaded = rollup_states(rollup_points(points, "1h"), "1d")
+    assert_df_equal(direct, cascaded)
+
+
+def test_salted_equals_unsalted(points):
+    plain = rollup_points(points, "1h")
+    salted = rollup_points_salted(points, "1h", salt_k=16)
+    assert_df_equal(plain, salted)
+
+
+def test_partitioning_invariance(points):
+    a = rollup_points(points.repartition(3), "1h")
+    b = rollup_points(points.repartition(37), "1h")
+    assert_df_equal(a, b)
+
+
+def test_derived_stats_match_native(points):
+    """mean/stddev derived from exact states == Spark's native avg/stddev."""
+    derived = with_derived_stats(rollup_points(points, "1h")).select(
+        "domain", "metric", "tag", "bucket_ts", "mean", "stddev"
+    )
+    native = (
+        points.groupBy(
+            "domain", "metric", "tag", F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+        )
+        .agg(F.avg("value").alias("mean"), F.stddev_samp("value").alias("stddev"))
+    )
+    assert_df_equal(derived, native, tol=1e-9)
+
+
+def test_tiered_cascade_shape(points):
+    tiers = tiered_rollups(points, salt_k=8)
+    n1m = tiers["1m"].count()
+    n1h = tiers["1h"].count()
+    n1d = tiers["1d"].count()
+    assert n1m >= n1h >= n1d > 0
+    # cnt conservation: every tier sums to the same total point count
+    tot = points.count()
+    for t, df in tiers.items():
+        if t == "1m":
+            assert df.agg(F.sum("cnt")).collect()[0][0] == tot

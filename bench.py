@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Round benchmark (driver-run). Prints ONE JSON line:
+  {"metric": ..., "value": <total wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Two parts:
+1. headline registry queries against $SPARK_GRAFT_SF_DIR testdata;
+2. the pages pipeline (synth → series → salted tiered rollups →
+   z-score + seasonal detectors → intervals), reporting
+   rolled_up_points_per_sec — the BASELINE.json metric.
+
+Pipeline scale: N_PAGES rows of synthetic pages (deterministic, seed 42);
+override with SPARK_GRAFT_BENCH_PAGES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.functions.urls import with_url_parts
+    from fischer_spark.operators.detect import (
+        anomaly_intervals,
+        seasonal_score,
+        zscore_window,
+    )
+    from fischer_spark.operators.rollup import tiered_rollups, with_derived_stats
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.queries import get_oracles, get_queries
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.pages import synth_pages
+
+    spark = get_spark("fischer_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    queries = get_queries()
+    headline = [
+        "rollup_1h_events",
+        "rollup_1d_cascade_events",
+        "gapfill_locf_events",
+        "gapfill_linear_events",
+        "zscore_events_1h",
+        "anomaly_intervals_events",
+        "seasonal_profile_events",
+        "tpch_q1ish",
+        "revenue_by_nation",
+        "top_customers_per_nation",
+        "exact_dedup_documents",
+        "minhash_band_candidates",
+        "ngram_jaccard_neighbors",
+        "quality_score_documents",
+        "cosine_topk_embeddings",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- pages pipeline: the north-star workload ----
+    # project the narrow columns ONCE (html reduced to its byte length)
+    # and cache; the three series builders then share one materialization.
+    t0 = time.perf_counter()
+    pages = (
+        with_url_parts(synth_pages(spark, n_pages, seed=42))
+        .select(
+            "domain",
+            "warc_ts",
+            F.octet_length("html").alias("page_bytes"),
+            "lang",
+        )
+        .persist()
+    )
+    n_raw = pages.count()
+    series = build_series(pages)
+    series.persist()
+    n_points = series.count()
+    t_series = time.perf_counter() - t0
+    pages.unpersist()
+
+    t0 = time.perf_counter()
+    tiers = tiered_rollups(series, salt_k=16)
+    for df in tiers.values():
+        df.persist()
+    tier_rows = {t: df.count() for t, df in tiers.items()}
+    t_rollup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hourly = with_derived_stats(tiers["1h"]).select(
+        "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
+    )
+    scored_z = zscore_window(hourly, w=24, min_periods=8)
+    n_ivals = anomaly_intervals(scored_z, tau=3.0).count()
+    scored_s = seasonal_score(hourly)
+    n_ivals_s = anomaly_intervals(scored_s, tau=3.0, detector="seasonal").count()
+    t_detect = time.perf_counter() - t0
+
+    series.unpersist()
+    for df in tiers.values():
+        df.unpersist()
+
+    timings["pipeline_series_build"] = round(t_series, 3)
+    timings["pipeline_rollup_tiers"] = round(t_rollup, 3)
+    timings["pipeline_detectors"] = round(t_detect, 3)
+
+    total = round(sum(timings.values()), 3)
+    rolled_pps = round(n_points / (t_rollup + t_detect), 1)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_bench_pages": n_pages,
+        "series_points": n_points,
+        "tier_rows": tier_rows,
+        "anomaly_intervals": n_ivals + n_ivals_s,
+        "rolled_up_points_per_sec": rolled_pps,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

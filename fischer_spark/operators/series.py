@@ -32,13 +32,18 @@ def crawl_rate_series(pages: DataFrame) -> DataFrame:
 
 
 def page_size_series(pages: DataFrame) -> DataFrame:
-    """html bytes per capture — raw-granularity points (ts = warc_ts)."""
+    """html bytes per capture — raw-granularity points (ts = warc_ts).
+    Uses a pre-projected `page_bytes` column when present so callers can
+    drop the (huge) html payload before caching/shuffling."""
+    size_col = (
+        F.col("page_bytes") if "page_bytes" in pages.columns else F.octet_length("html")
+    )
     return pages.select(
         F.col("domain"),
         F.lit("page_size").alias("metric"),
         F.lit(None).cast("string").alias("tag"),
         F.col("warc_ts").alias("bucket_ts"),
-        F.octet_length("html").cast("double").alias("value"),
+        size_col.cast("double").alias("value"),
     )
 
 

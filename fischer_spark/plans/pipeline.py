@@ -1,0 +1,143 @@
+"""§3.1 — the end-to-end rollup pipeline with checkpoint/resume (O6).
+
+Stage DAG (each stage reads ONLY its parents' stored snapshots, so a
+resumed run never recomputes upstream work):
+
+  pages → series → rollup_1m → rollup_1h → rollup_1d
+                     └────────────┴→ zscore_intervals / seasonal_intervals
+  series → chunks
+
+Resume protocol: after each stage commits, (stage → snapshot_id) is
+recorded in <root>/_runs/<run_id>.json via atomic temp+rename.  A rerun
+with the same run_id skips every recorded stage; outputs are identical
+because stage logic is deterministic and inputs are pinned by snapshot id
+(tested in tests/test_pipeline.py with lineage-fragment proof of
+non-recompute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.chunks import encode_chunks
+from fischer_spark.operators.detect import (
+    anomaly_intervals,
+    seasonal_score,
+    zscore_window,
+)
+from fischer_spark.operators.rollup import (
+    rollup_points_salted,
+    rollup_states,
+    with_derived_stats,
+)
+from fischer_spark.operators.series import build_series
+from fischer_spark.plans.lineage import with_lineage
+from fischer_spark.sources.storage import ParquetManifestStore, _atomic_write_json
+
+
+class RollupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ParquetManifestStore,
+        run_id: str,
+        salt_k: int = 16,
+        zscore_w: int = 24,
+        tau: float = 3.0,
+    ):
+        from fischer_spark.deploy import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.store = store
+        self.run_id = run_id
+        self.salt_k = salt_k
+        self.zscore_w = zscore_w
+        self.tau = tau
+        self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
+
+    # -- run-manifest ------------------------------------------------------
+
+    def _state(self) -> dict:
+        if os.path.exists(self._runpath):
+            with open(self._runpath) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _record(self, stage: str, snapshot_id: str) -> None:
+        st = self._state()
+        st["stages"][stage] = snapshot_id
+        _atomic_write_json(self._runpath, st)
+
+    def completed(self) -> dict[str, str]:
+        return dict(self._state()["stages"])
+
+    # -- stages ------------------------------------------------------------
+
+    def _run_stage(self, stage: str, table: str, build: "callable") -> str:
+        done = self._state()["stages"]
+        if stage in done:
+            return done[stage]
+        df = build()
+        df = with_lineage(df, self.store.root, self.run_id, stage)
+        snap = self.store.append(table, df)
+        self._record(stage, snap)
+        return snap
+
+    def run(self, pages: DataFrame, until: str | None = None) -> dict[str, str]:
+        """Execute (or resume) the full DAG; `until` stops after a stage —
+        the crash-injection hook for resume tests."""
+        order = [
+            "series",
+            "rollup_1m",
+            "rollup_1h",
+            "rollup_1d",
+            "zscore_intervals",
+            "seasonal_intervals",
+            "chunks",
+        ]
+        builders = {
+            "series": lambda: build_series(pages),
+            "rollup_1m": lambda: rollup_points_salted(
+                self.store.read("series", self.completed().get("series")),
+                "1m",
+                self.salt_k,
+            ),
+            "rollup_1h": lambda: rollup_states(
+                self.store.read("rollup_1m", self.completed().get("rollup_1m")), "1h"
+            ),
+            "rollup_1d": lambda: rollup_states(
+                self.store.read("rollup_1h", self.completed().get("rollup_1h")), "1d"
+            ),
+            "zscore_intervals": lambda: anomaly_intervals(
+                zscore_window(self._hourly_means(), w=self.zscore_w, min_periods=8),
+                tau=self.tau,
+                tier="1h",
+                detector="zscore",
+            ),
+            "seasonal_intervals": lambda: anomaly_intervals(
+                seasonal_score(self._hourly_means()),
+                tau=self.tau,
+                tier="1h",
+                detector="seasonal",
+            ),
+            "chunks": lambda: encode_chunks(
+                self.store.read("series", self.completed().get("series")), "1d"
+            ),
+        }
+        out: dict[str, str] = {}
+        for stage in order:
+            out[stage] = self._run_stage(stage, stage, builders[stage])
+            if until == stage:
+                break
+        return out
+
+    def _hourly_means(self) -> DataFrame:
+        states = self.store.read("rollup_1h", self.completed().get("rollup_1h"))
+        return with_derived_stats(states).select(
+            "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
+        )

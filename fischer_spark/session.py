@@ -52,4 +52,7 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from fischer_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     return spark

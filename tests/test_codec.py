@@ -1,0 +1,92 @@
+"""§5.3 codec round-trip: bit-exact for doubles (NaN payloads, ±0, inf)
+and timestamps; compression-ratio floor on gorilla-friendly data; Spark
+encode→decode identity; zone-map pruning correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.codec.gorilla import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_ts_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(50):
+        n = int(rng.integers(0, 400))
+        ts = np.sort(rng.integers(0, 2**45, size=n).astype(np.int64))
+        assert np.array_equal(decode_timestamps(encode_timestamps(ts), n), ts)
+
+
+def test_ts_regular_is_tiny():
+    ts = np.arange(5000, dtype=np.int64) * 60_000_000  # exact 1m cadence
+    enc = encode_timestamps(ts)
+    assert len(enc) < 5000 * 8 / 50  # >50x on regular cadence
+    assert np.array_equal(decode_timestamps(enc, 5000), ts)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_val_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    specials = np.array(
+        [0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324, 1.7e308], dtype=np.float64
+    )
+    for k in range(60):
+        n = int(rng.integers(0, 400))
+        if k % 3 == 0:
+            v = np.round(rng.normal(100, 1, n), 2)
+        elif k % 3 == 1:
+            v = rng.choice(specials, n)
+        else:
+            v = rng.random(n)
+        dec = decode_values(encode_values(v), n)
+        assert np.array_equal(v.view(np.uint64), dec.view(np.uint64))
+
+
+def test_val_constant_compresses():
+    v = np.full(5000, 42.5)
+    enc = encode_values(v)
+    assert len(enc) < 700  # ~1 bit/point
+
+
+def test_spark_chunk_roundtrip(pages):
+    from fischer_spark.operators.chunks import decode_chunks, encode_chunks
+    from fischer_spark.operators.series import build_series
+
+    pts = build_series(pages).filter(
+        F.col("domain").isin("d000.example", "d003.example", "d007.example")
+    )
+    chunks = encode_chunks(pts, "1d").cache()
+    back = decode_chunks(chunks)
+    # bit-exact set equality (value is double; exceptAll compares exactly)
+    assert pts.count() == back.count()
+    assert pts.exceptAll(back).count() == 0
+    assert back.exceptAll(pts).count() == 0
+    # compression: chunk bytes well under raw 16B/point
+    row = chunks.agg(
+        F.sum(F.octet_length("ts_bytes") + F.octet_length("val_bytes")).alias("b"),
+        F.sum("n").alias("n"),
+    ).collect()[0]
+    assert row.b < row.n * 16 * 0.7, (row.b, row.n)
+
+
+def test_zone_map_pruning(pages):
+    from fischer_spark.operators.chunks import decode_chunks, encode_chunks, prune_chunks
+    from fischer_spark.operators.series import crawl_rate_series
+
+    pts = crawl_rate_series(pages)
+    chunks = encode_chunks(pts, "1d").cache()
+    t_from = "2024-01-10 00:00:00"
+    pruned = prune_chunks(chunks, t_from=t_from)
+    assert pruned.count() < chunks.count()
+    got = decode_chunks(pruned).filter(F.col("bucket_ts") >= t_from)
+    want = pts.filter(F.col("bucket_ts") >= t_from)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

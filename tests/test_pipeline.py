@@ -1,0 +1,74 @@
+"""§5.7 resume test: kill after stage k, rerun same run_id → identical
+outputs, stages < k not recomputed (lineage fragments prove it)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.plans.lineage import read_lineage
+from fischer_spark.plans.pipeline import RollupPipeline
+from fischer_spark.sources.storage import ParquetManifestStore
+
+
+@pytest.fixture(scope="module")
+def small_pages(pages):
+    return pages.filter(
+        F.col("domain").isin("d000.example", "d002.example", "d005.example")
+    ).select("domain", "warc_ts", F.octet_length("html").alias("page_bytes"), "lang")
+
+
+def _frag_count(root, run_id, stage):
+    d = os.path.join(root, "_lineage", run_id, stage)
+    return len([f for f in os.listdir(d) if f.endswith(".json")]) if os.path.isdir(d) else 0
+
+
+def test_resume_after_crash(spark, tmp_path, small_pages):
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+
+    # uninterrupted reference run
+    full = RollupPipeline(spark, ParquetManifestStore(spark, root_a), "run1")
+    full.run(small_pages)
+
+    # crashed run: stop after rollup_1h, then resume with same run_id
+    crash = RollupPipeline(spark, ParquetManifestStore(spark, root_b), "run1")
+    crash.run(small_pages, until="rollup_1h")
+    assert set(crash.completed()) == {"series", "rollup_1m", "rollup_1h"}
+    frags_before = {
+        s: _frag_count(root_b, "run1", s) for s in ("series", "rollup_1m", "rollup_1h")
+    }
+
+    resumed = RollupPipeline(spark, ParquetManifestStore(spark, root_b), "run1")
+    resumed.run(small_pages)
+    assert set(resumed.completed()) == set(full.completed())
+
+    # stages < k were NOT recomputed: no new lineage fragments appeared
+    frags_after = {
+        s: _frag_count(root_b, "run1", s) for s in ("series", "rollup_1m", "rollup_1h")
+    }
+    assert frags_after == frags_before
+
+    # outputs identical to the uninterrupted run, every stage
+    sa = ParquetManifestStore(spark, root_a)
+    sb = ParquetManifestStore(spark, root_b)
+    for table in ("series", "rollup_1m", "rollup_1h", "rollup_1d",
+                  "zscore_intervals", "seasonal_intervals"):
+        da, db = sa.read(table), sb.read(table)
+        assert da.count() == db.count(), table
+        assert da.exceptAll(db).count() == 0, table
+        assert db.exceptAll(da).count() == 0, table
+
+
+def test_lineage_rows(spark, tmp_path, small_pages):
+    root = str(tmp_path / "wh")
+    p = RollupPipeline(spark, ParquetManifestStore(spark, root), "runL")
+    p.run(small_pages, until="rollup_1m")
+    lin = read_lineage(spark, root, "runL")
+    rows = lin.collect()
+    assert {r.stage for r in rows} == {"series", "rollup_1m"}
+    series_rows = lin.filter(F.col("stage") == "series").agg(F.sum("input_rows")).collect()[0][0]
+    assert series_rows == ParquetManifestStore(spark, root).read("series").count()
+    assert all(r.wall_ms >= 0 for r in rows)

@@ -15,8 +15,10 @@ Semantics (frozen — golden fixtures pin these):
   defined only when the trailing window has ≥ min_periods points and
   stddev > 0.  The window EXCLUDES the current point (a spike must not
   inflate its own baseline).
-- seasonal: profile mean/stddev per (key, hour-of-day, day-of-week) over
-  the whole history; score = (x − slot_mean)/slot_stddev.
+- seasonal: per-(key, hour-of-day, day-of-week) slot profile over the
+  history, scored LEAVE-ONE-OUT — the point is excluded from its own
+  baseline via the closed form on exact slot states (in-sample z caps at
+  (n−1)/√n, which would mask real anomalies at small slot counts).
 - intervals: consecutive over-threshold buckets (|score| > tau) merge into
   one interval (gaps-and-islands); scored by peak/mean |score| and length.
 """
@@ -28,6 +30,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY_COLS = ["domain", "metric", "tag"]
+
+# frozen spec: the baseline stddev must clear an absolute + relative
+# floor (sd > 1e-9 + 1e-7·|mu|) for a score to be defined.  A slot whose
+# spread is below 1e-7 of its level is "constant" — float cancellation in
+# any of the four detector forms (exact-decimal window, pandas rolling,
+# LOO closed form, DuckDB oracle) can fabricate sd up to ~1e-6·|mu| from
+# pure rounding, so scores there would be noise, not signal.
+SD_EPS_ABS = 1e-9
+SD_EPS_REL = 1e-7
+
+
+def _sd_ok_col(sd, mu):
+    return sd > (F.lit(SD_EPS_ABS) + F.lit(SD_EPS_REL) * F.abs(mu))
+
+
+def _sd_ok_np(sd, mu):
+    import numpy as np
+
+    return sd > (SD_EPS_ABS + SD_EPS_REL * np.abs(mu))
 
 _SCORED_FIELDS = (
     "domain string, metric string, tag string, bucket_ts timestamp, "
@@ -64,7 +85,9 @@ def zscore_window(
     gate = n >= F.greatest(F.lit(min_periods), F.lit(2))
     mu = F.when(gate, s / nd)
     sd = F.when(gate, F.sqrt(F.greatest(var, F.lit(0.0))))
-    score = F.when(sd > 0, (v - mu) / sd).otherwise(F.lit(None).cast("double"))
+    score = F.when(_sd_ok_col(sd, mu), (v - mu) / sd).otherwise(
+        F.lit(None).cast("double")
+    )
     return series.select(
         *KEY_COLS,
         "bucket_ts",
@@ -92,7 +115,7 @@ def zscore_grouped_arrow(
         mu = prev.rolling(window=w, min_periods=min_periods).mean()
         sd = prev.rolling(window=w, min_periods=min_periods).std(ddof=1)
         score = (x - mu) / sd
-        score[~(sd > 0)] = float("nan")
+        score[~_sd_ok_np(sd, mu)] = float("nan")
         out = pdf[KEY_COLS + ["bucket_ts"]].copy()
         out["value"] = x
         out["mu"] = mu
@@ -105,16 +128,28 @@ def zscore_grouped_arrow(
 
 
 def seasonal_profile(series: DataFrame, value_col: str = "value") -> DataFrame:
-    """Per-(key, hour-of-day, day-of-week) mean/stddev profile.
+    """Per-(key, hour-of-day, day-of-week) profile as EXACT algebraic
+    states (slot_n, slot_s, slot_sq) plus derived mean/stddev.
     dayofweek is Spark semantics: 1=Sunday … 7=Saturday."""
-    return series.groupBy(
+    v = F.col(value_col)
+    states = series.groupBy(
         *KEY_COLS,
         F.hour("bucket_ts").alias("hod"),
         F.dayofweek("bucket_ts").alias("dow"),
     ).agg(
-        F.avg(value_col).alias("slot_mean"),
-        F.stddev_samp(value_col).alias("slot_sd"),
         F.count(value_col).alias("slot_n"),
+        F.sum(v.cast("decimal(38,18)")).alias("slot_s"),
+        F.sum((v * v).cast("decimal(38,12)")).alias("slot_sq"),
+    )
+    n = F.col("slot_n").cast("double")
+    s = F.col("slot_s").cast("double")
+    sq = F.col("slot_sq").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return states.withColumn("slot_mean", s / n).withColumn(
+        "slot_sd",
+        F.when(F.col("slot_n") < 2, F.lit(None).cast("double")).otherwise(
+            F.sqrt(F.greatest(var, F.lit(0.0)))
+        ),
     )
 
 
@@ -124,8 +159,12 @@ def seasonal_score(
     min_slot_n: int = 3,
     value_col: str = "value",
 ) -> DataFrame:
-    """Score each point against its seasonal slot.  The profile side is
-    tiny (keys × 168 slots) → broadcast join, no shuffle of the points."""
+    """Score each point against its seasonal slot, LEAVE-ONE-OUT: the
+    point is excluded from its own slot baseline (closed form from the
+    exact slot states), for the same reason the rolling window excludes
+    the current point — an in-sample z caps at (n−1)/√n and masks real
+    anomalies in short histories.  The profile side is tiny
+    (keys × 168 slots) → broadcast join, no shuffle of the points."""
     if profile is None:
         profile = seasonal_profile(series, value_col)
     # tag is nullable (crawl_rate/page_size carry tag=NULL) and NULL join
@@ -142,17 +181,27 @@ def seasonal_score(
     joined = pts.join(
         F.broadcast(prof), on=["domain", "metric", "_tagk", "hod", "dow"], how="left"
     )
-    v = F.col(value_col)
-    score = F.when(
-        (F.col("slot_n") >= min_slot_n) & (F.col("slot_sd") > 0),
-        (v - F.col("slot_mean")) / F.col("slot_sd"),
-    ).otherwise(F.lit(None).cast("double"))
+    v = F.col(value_col).cast("double")
+    # leave-one-out baseline from exact slot states:
+    #   mu' = (S - x)/(n-1),  var' = (SQ - x² - (S-x)²/(n-1)) / (n-2)
+    n = F.col("slot_n").cast("double")
+    s = F.col("slot_s").cast("double")
+    sq = F.col("slot_sq").cast("double")
+    mu_loo = (s - v) / (n - 1.0)
+    var_loo = (sq - v * v - (s - v) * (s - v) / (n - 1.0)) / (n - 2.0)
+    sd_loo = F.sqrt(F.greatest(var_loo, F.lit(0.0)))
+    gate = (F.col("slot_n") >= F.greatest(F.lit(min_slot_n), F.lit(3)))
+    mu = F.when(gate, mu_loo)
+    sd = F.when(gate, sd_loo)
+    score = F.when(_sd_ok_col(sd, mu), (v - mu) / sd).otherwise(
+        F.lit(None).cast("double")
+    )
     return joined.select(
         *KEY_COLS,
         "bucket_ts",
-        v.cast("double").alias("value"),
-        F.col("slot_mean").alias("mu"),
-        F.col("slot_sd").alias("sd"),
+        v.alias("value"),
+        mu.alias("mu"),
+        sd.alias("sd"),
         score.alias("score"),
     )
 
@@ -164,6 +213,8 @@ def seasonal_score_grouped_arrow(
     form); agrees with `seasonal_score` to 1e-9."""
 
     def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
         x = pdf[value_col].astype("float64")
         ts = pd.to_datetime(pdf["bucket_ts"])
@@ -171,11 +222,20 @@ def seasonal_score_grouped_arrow(
         dow = (ts.dt.dayofweek + 1) % 7 + 1  # pandas Mon=0 → Spark Sun=1
         slot = hod * 10 + dow
         g = x.groupby(slot)
-        mu = g.transform("mean")
-        sd = g.transform(lambda s: s.std(ddof=1))
-        n = g.transform("count")
+        n = g.transform("count").astype("float64")
+        s = g.transform("sum")
+        mean = s / n
+        # centered sum of squares (numerically stable vs raw sq - s²/n)
+        cs = ((x - mean) ** 2).groupby(slot).transform("sum")
+        # leave-one-out identity: SS₋ᵢ = SS − n/(n−1)·(xᵢ−x̄)²
+        mu = (s - x) / (n - 1.0)
+        ss_loo = cs - (n / (n - 1.0)) * (x - mean) ** 2
+        sd = np.sqrt(np.maximum(ss_loo / (n - 2.0), 0.0))
+        gate = n >= max(min_slot_n, 3)
+        mu[~gate] = float("nan")
+        sd[~gate] = float("nan")
         score = (x - mu) / sd
-        score[~((sd > 0) & (n >= min_slot_n))] = float("nan")
+        score[~_sd_ok_np(sd, mu)] = float("nan")
         out = pdf[KEY_COLS + ["bucket_ts"]].copy()
         out["value"] = x
         out["mu"] = mu

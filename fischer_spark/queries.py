@@ -22,7 +22,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fischer_spark.operators.detect import anomaly_intervals, zscore_window
+from fischer_spark.operators.detect import (
+    anomaly_intervals,
+    seasonal_score,
+    zscore_window,
+)
 from fischer_spark.operators.gapfill import gapfill_linear, gapfill_locf
 from fischer_spark.operators.rollup import (
     rollup_points,
@@ -264,7 +268,8 @@ _ZSCORE_SQL = f"""
     FROM st
   )
   SELECT domain AS series_key, bucket_ts, value, mu, sd,
-         CASE WHEN sd > 0 THEN (value - mu) / sd END AS score
+         CASE WHEN sd > 1e-9 + 1e-7 * abs(mu)
+              THEN (value - mu) / sd END AS score
   FROM scored
 """
 
@@ -369,6 +374,52 @@ def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cnt") < 2, F.lit(None).cast("double"))
         .otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
         .alias("slot_sd"),
+    )
+
+
+@register(
+    "seasonal_scored_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  st AS (
+    SELECT domain, hour(bucket_ts) AS hod, dayofweek(bucket_ts) + 1 AS dow,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
+           CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sq
+    FROM pts GROUP BY 1, 2, 3
+  ),
+  j AS (
+    SELECT p.domain, p.bucket_ts, p.value,
+           CAST(st.n AS DOUBLE) AS n, st.s, st.sq
+    FROM pts p JOIN st
+      ON p.domain = st.domain
+     AND hour(p.bucket_ts) = st.hod AND dayofweek(p.bucket_ts) + 1 = st.dow
+  ),
+  loo AS (
+    SELECT domain, bucket_ts, value,
+           CASE WHEN n >= 3 THEN (s - value) / (n - 1.0) END AS mu,
+           CASE WHEN n >= 3 THEN
+             sqrt(greatest((sq - value * value
+                            - (s - value) * (s - value) / (n - 1.0))
+                           / (n - 2.0), 0.0)) END AS sd
+    FROM j
+  )
+  SELECT domain AS series_key, bucket_ts, value, mu, sd,
+         CASE WHEN sd > 1e-9 + 1e-7 * abs(mu)
+              THEN (value - mu) / sd END AS score
+  FROM loo
+""",
+)
+def seasonal_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO seasonal deviation scores on the hourly event-rate series —
+    the O27 detector itself under the DuckDB oracle."""
+    scored = seasonal_score(_events_hourly_rate(spark, sf_dir), min_slot_n=3)
+    return scored.select(
+        F.col("domain").alias("series_key"), "bucket_ts", "value", "mu", "sd", "score"
     )
 
 

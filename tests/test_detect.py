@@ -55,7 +55,11 @@ def test_seasonal_window_vs_arrow(spark, pages):
         "d002.example", "d004.example")))
     a = seasonal_score(pts, min_slot_n=2)
     b = seasonal_score_grouped_arrow(pts, min_slot_n=2)
-    assert_df_equal(a, b, tol=1e-9)
+    # scores (the semantics) agree to 1e-9; the raw sd diagnostic may carry
+    # ~1e-9 float noise on constant slots (why the SD floor is relative)
+    assert_df_equal(a.drop("sd"), b.drop("sd"), tol=1e-9)
+    assert_df_equal(a.select("domain", "bucket_ts", "sd"),
+                    b.select("domain", "bucket_ts", "sd"), tol=1e-6)
 
 
 def test_interval_assembly(spark):

@@ -46,6 +46,7 @@ def main() -> None:
 
     spark = get_spark("fischer_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")  # full|pipeline
     queries = get_queries()
     headline = [
         "rollup_1h_events",
@@ -65,10 +66,11 @@ def main() -> None:
         "cosine_topk_embeddings",
     ]
     timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    if mode == "full":
+        for name in headline:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     # ---- pages pipeline: the north-star workload ----
     # project the narrow columns ONCE (html reduced to its byte length)

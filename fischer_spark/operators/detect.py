@@ -64,20 +64,42 @@ def zscore_window(
 ) -> DataFrame:
     """Catalyst-native rolling z-score over a trailing, current-exclusive
     row window. Output: key, bucket_ts, value, mu, sd, score."""
-    win = (
-        Window.partitionBy(*KEY_COLS)
-        .orderBy("bucket_ts")
-        .rowsBetween(-w, -1)
-    )
-    v = F.col(value_col)
-    n = F.count(v).over(win)
     # mu/sd derive from EXACT decimal window states (sum, sum_sq) rather
     # than native avg/stddev: bit-identical across engines and partition
     # orders for integral-valued series, so threshold crossings (and hence
     # interval membership) never flip on 1e-15 accumulation noise.  Same
     # algebra as the rollup tiers (SURVEY.md §7 hard-part 1).
-    s = F.sum(v.cast("decimal(38,18)")).over(win).cast("double")
-    sq = F.sum((v * v).cast("decimal(38,12)")).over(win).cast("double")
+    #
+    # PHYSICAL SHAPE: Spark evaluates sliding ROWS frames by re-summing
+    # the frame per row — O(W·n) BigDecimal adds.  Instead take cumulative
+    # (unbounded-preceding) sums, which Spark maintains incrementally, and
+    # difference two lags: frame_sum[-w,-1] = cum@lag1 − cum@lag(w+1).
+    # Decimal addition is exact, so the subtraction reproduces the frame
+    # sum bit-for-bit while costing O(n).  ~5× faster detect stage at 20M
+    # points (measured in bench/scaling.py).
+    cum_win = (
+        Window.partitionBy(*KEY_COLS)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lag_win = Window.partitionBy(*KEY_COLS).orderBy("bucket_ts")
+    v = F.col(value_col)
+    zero_s = F.lit(0).cast("decimal(38,18)")
+    zero_q = F.lit(0).cast("decimal(38,12)")
+    cum_s = F.sum(v.cast("decimal(38,18)")).over(cum_win)
+    cum_q = F.sum((v * v).cast("decimal(38,12)")).over(cum_win)
+    cum_n = F.count(v).over(cum_win)  # non-null count (gap rows excluded)
+    n = F.coalesce(F.lag(cum_n, 1).over(lag_win), F.lit(0)) - F.coalesce(
+        F.lag(cum_n, w + 1).over(lag_win), F.lit(0)
+    )
+    s = (
+        F.coalesce(F.lag(cum_s, 1).over(lag_win), zero_s)
+        - F.coalesce(F.lag(cum_s, w + 1).over(lag_win), zero_s)
+    ).cast("double")
+    sq = (
+        F.coalesce(F.lag(cum_q, 1).over(lag_win), zero_q)
+        - F.coalesce(F.lag(cum_q, w + 1).over(lag_win), zero_q)
+    ).cast("double")
     nd = n.cast("double")
     var = (sq - s * s / nd) / (nd - F.lit(1.0))
     # mu/sd are defined only once the trailing window holds >= min_periods

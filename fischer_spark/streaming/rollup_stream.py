@@ -1,0 +1,123 @@
+"""O32-O34 — Structured Streaming extension (SURVEY.md §2.7; optional,
+not parity-gated: the north rule is batch over a static table).
+
+The 1m tier is the streaming-friendly one: tumbling event-time windows
+with a watermark for late captures.  The SAME exact state algebra is
+used (cnt / decimal sum / decimal sum_sq / min / max), so a streaming 1m
+tier can be unioned with, or replaced by, the batch tier bit-for-bit —
+that is what makes the lambda-architecture seam safe here.
+
+Late data: within the watermark, windows update in place (append-mode
+emits once finalized); beyond it, the batch path's idempotent
+`overwrite_range` reprocessing is the system of record.
+
+`streaming_zscore` is the stateful custom-operator demo
+(`applyInPandasWithState`): per-key running Welford state across
+micro-batches, emitting a score per finalized 1m bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_rollup_1m(
+    pages_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-minute window aggregation over a pages readStream.
+    Input needs (domain, warc_ts, page_bytes); output matches the batch
+    1m page_size tier states."""
+    v = F.col("page_bytes").cast("double")
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.col("domain"), F.window("warc_ts", "1 minute").alias("win"))
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v.cast("decimal(28,6)")).alias("sum"),
+            F.sum((v * v).cast("decimal(28,12)")).alias("sum_sq"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+        )
+        .select(
+            "domain",
+            F.lit("page_size").alias("metric"),
+            F.lit(None).cast("string").alias("tag"),
+            F.lit("1m").alias("tier"),
+            F.col("win.start").alias("bucket_ts"),
+            "cnt",
+            "sum",
+            "sum_sq",
+            "min",
+            "max",
+        )
+    )
+
+
+_ZS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+_ZS_OUT = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("bucket_ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _zscore_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Welford running mean/variance per key across micro-batches; each
+    arriving bucket is scored against the state BEFORE being folded in
+    (current-exclusive, like the batch detector)."""
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("bucket_ts")
+        for ts, x in zip(pdf["bucket_ts"], pdf["value"].astype(float)):
+            if n >= 8 and m2 > 0:
+                sd = (m2 / (n - 1)) ** 0.5
+                score = (x - mean) / sd if sd > 1e-9 + 1e-7 * abs(mean) else None
+            else:
+                score = None
+            out.append((key[0], ts, x, score))
+            n += 1
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(out, columns=["domain", "bucket_ts", "value", "score"])
+
+
+def streaming_zscore(bucket_stream: DataFrame) -> DataFrame:
+    """Stateful streaming z-score over (domain, bucket_ts, value) rows."""
+    return bucket_stream.groupBy("domain").applyInPandasWithState(
+        _zscore_state_fn,
+        outputStructType=_ZS_OUT,
+        stateStructType=_ZS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""The production job (BASELINE.json north_rule: "run via spark-submit
+--py-files on a multi-executor cluster"):
+
+    python -m zipfile -c /tmp/engine.zip fischer_spark   # or deploy.package_zip()
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/rollup_job.py \
+        --input /path/to/pages_parquet  (or --synth-pages 1000000) \
+        --warehouse /path/to/warehouse \
+        --run-id nightly-2024-01-15 \
+        [--until rollup_1h] [--salt-k 16] [--tau 3.0] [--retain-as-of "2024-02-01 00:00:00"]
+
+Re-running with the same --run-id resumes from the last completed stage
+(snapshot checkpoints).  Lineage fragments land under
+<warehouse>/_lineage/<run-id>/ and are summarized on stdout.
+
+Under spark-submit the session already exists (getOrCreate picks up the
+submitted conf); standalone it builds a local one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="fischer_spark tiered rollup job")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    src.add_argument("--synth-pages", type=int, help="generate N synthetic pages instead")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--salt-k", type=int, default=16)
+    ap.add_argument("--tau", type=float, default=3.0)
+    ap.add_argument("--until", default=None, help="stop after this stage (debug/crash-test)")
+    ap.add_argument(
+        "--retain-as-of",
+        default=None,
+        help='apply tier retention horizons as of this timestamp ("YYYY-mm-dd HH:MM:SS")',
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.functions.urls import with_url_parts
+    from fischer_spark.plans.lineage import read_lineage
+    from fischer_spark.plans.pipeline import RollupPipeline
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.pages import scan_pages, synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    spark = get_spark(f"fischer_rollup_{args.run_id}")
+
+    if args.input:
+        pages = scan_pages(spark, args.input, ["url", "warc_ts", "html", "lang"])
+    else:
+        pages = synth_pages(spark, args.synth_pages, seed=args.seed)
+    pages = with_url_parts(pages).select(
+        "domain", "warc_ts", F.octet_length("html").alias("page_bytes"), "lang"
+    )
+
+    store = ParquetManifestStore(spark, args.warehouse)
+    pipe = RollupPipeline(
+        spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau
+    )
+    snaps = pipe.run(pages, until=args.until)
+    print(f"run {args.run_id}: {len(snaps)} stages committed")
+    for stage, snap in snaps.items():
+        print(f"  {stage:20s} snapshot={snap} rows={store.read(stage, snap).count()}")
+
+    if args.retain_as_of:
+        for tier in ("rollup_1m", "rollup_1h", "rollup_1d"):
+            s = store.expire_retention(tier, tier.split("_")[1], args.retain_as_of)
+            if s:
+                print(f"  retention applied to {tier}: snapshot={s}")
+
+    lin = read_lineage(spark, args.warehouse, args.run_id)
+    lin.groupBy("stage").agg(
+        F.count("*").alias("partitions"),
+        F.sum("input_rows").alias("rows"),
+        F.round(F.sum("wall_ms") / 1000.0, 2).alias("cpu_s"),
+    ).orderBy("stage").show(truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

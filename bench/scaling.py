@@ -38,7 +38,15 @@ from fischer_spark.operators.rollup import tiered_rollups, with_derived_stats
 from fischer_spark.operators.detect import zscore_window, seasonal_score, anomaly_intervals
 from pyspark.sql import functions as F
 c = {cpus}
-spark = get_spark("scaling", master=f"local[{{c}}]", shuffle_partitions=c)
+# Bench conf notes: shuffle partitions at 4×cores for reduce-side slot
+# utilization; AQE partition COALESCING off — its 64 MB advisory target
+# is sized for cluster tasks and under-parallelizes a 300 MB local
+# shuffle down to ~5 tasks (measured +26% wall at 16 cores).  Skew-join
+# splitting and the rest of AQE stay on.
+spark = get_spark(
+    "scaling", master=f"local[{{c}}]", shuffle_partitions=4 * c,
+    extra_conf={{"spark.sql.adaptive.coalescePartitions.enabled": "false"}},
+)
 spark.range(10_000_000).agg(F.sum("id")).collect()  # JIT warm
 pts = spark.read.parquet({src!r})
 n = pts.count()

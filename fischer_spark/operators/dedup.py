@@ -1,0 +1,191 @@
+"""Production dedup + similarity operators (the 100 TB scale paths).
+
+The SQL-expressible oracle forms live in queries_webtext/queries_extended;
+these are the vectorized numpy forms used on real corpora:
+
+- simhash64: 64-bit simhash per doc via a single Arrow batch pass
+  (token-hash matrix → bit-vote with numpy popcount math, no Python loop
+  per token).
+- simhash_candidates: Hamming-≤k candidate pairs via band rotation —
+  each doc keyed by 4 × 16-bit bands; pairs share a band → bucket join,
+  never O(n²).
+- lsh_cosine_buckets / ann_topk_lsh: random-hyperplane LSH for embedding
+  ANN.  Planes are seeded-deterministic; probe joins its bucket (and
+  optionally multiprobe neighbors) instead of the whole corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------------
+# simhash64
+# --------------------------------------------------------------------------
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in set(tokens)
+        ),
+        dtype=np.uint64,
+        count=len(set(tokens)),
+    )
+
+
+def _simhash64(tokens: list[str]) -> int:
+    h = _token_hashes(tokens)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 majority
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+# NB: DataType OBJECT, not a DDL string — module-level pandas_udf
+# decorators re-run when executors import the shipped package, and DDL
+# parsing there requires an active session (SESSION_OR_CONTEXT_NOT_EXISTS).
+@F.pandas_udf(T.LongType())
+def _simhash64_udf(text: pd.Series) -> pd.Series:
+    out = []
+    for t in text:
+        toks = (t or "").lower().split()
+        v = _simhash64(toks)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)  # to signed
+    return pd.Series(out, dtype="int64")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash64_udf(F.col(text_col)))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash") -> DataFrame:
+    """Hamming-near candidate pairs: two docs within Hamming distance 3 of
+    each other share at least one of four 16-bit bands (pigeonhole).
+    Shuffle key = (band_idx, band value); join inside buckets only."""
+    bands = None
+    for i in range(4):
+        b = df.select(
+            F.col(id_col),
+            F.col(sim_col),
+            F.lit(i).alias("band_idx"),
+            F.shiftrightunsigned(F.col(sim_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sim_col}").alias("sh_a"),
+            F.col(f"b.{sim_col}").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming)
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH for embedding ANN
+# --------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    p = rng.standard_normal((dim, n_planes))
+    return p / np.linalg.norm(p, axis=0, keepdims=True)
+
+
+def lsh_cosine_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection bucket id per vector (one Arrow pass, matrix
+    multiply per batch — no per-row Python)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        return pd.Series(
+            (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        )
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via MULTI-TABLE hyperplane LSH: `n_tables` independent
+    plane sets; a candidate is any corpus vector sharing a bucket with
+    the probe in ANY table (classic LSH OR-construction — single-table
+    recall is capped near bucket_size/k).  Exact cosine only on the
+    deduplicated candidate set; shuffle key is (table, bucket).
+    Recall/cost dial: more tables → higher recall, more candidates."""
+    from pyspark.sql import Window
+
+    cb = None
+    pb = None
+    p_renamed = probes.withColumnRenamed(id_col, "probe_id").withColumnRenamed(
+        vec_col, "pe"
+    )
+    for t in range(n_tables):
+        c_t = lsh_cosine_buckets(
+            corpus, vec_col, n_planes=n_planes, seed=seed + 1000 * t
+        ).withColumn("table", F.lit(t))
+        p_t = lsh_cosine_buckets(
+            p_renamed, "pe", n_planes=n_planes, seed=seed + 1000 * t
+        ).withColumn("table", F.lit(t))
+        cb = c_t if cb is None else cb.unionByName(c_t)
+        pb = p_t if pb is None else pb.unionByName(p_t)
+    j = (
+        cb.join(pb, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, "pe", vec_col)
+        .distinct()
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    sim = (
+        F.expr(dot.format(a="pe", b=vec_col))
+        / (
+            F.sqrt(F.expr(dot.format(a="pe", b="pe")))
+            * F.sqrt(F.expr(dot.format(a=vec_col, b=vec_col)))
+        )
+    )
+    scored = j.select("probe_id", F.col(id_col), sim.alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

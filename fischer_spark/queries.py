@@ -423,16 +423,18 @@ def seasonal_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # import registers the extended surfaces (contract + webtext operators)
+def _load_registry() -> None:
+    # import registers the extended surfaces (contract + webtext + extended)
     import fischer_spark.queries_contract  # noqa: F401
+    import fischer_spark.queries_extended  # noqa: F401
     import fischer_spark.queries_webtext  # noqa: F401
 
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_registry()
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
-    import fischer_spark.queries_contract  # noqa: F401
-    import fischer_spark.queries_webtext  # noqa: F401
-
+    _load_registry()
     return dict(ORACLES)

@@ -1,0 +1,269 @@
+"""Extended operator surface: simhash dedup, sessionization, interval
+overlap consensus (O16), JSON props extraction (O12), approx-distinct.
+
+Same hash-safety rules as queries.py. The simhash here is the
+SQL-expressible 16-bit oracle form (bit votes from md5 nibbles); the
+production 64-bit numpy form lives in operators/dedup.py (rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fischer_spark.queries import register
+from fischer_spark.sources.testdata import scan_testdata
+
+_TOK_SPARK = "split(trim(lower(text)), '\\\\s+')"
+_TOK_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# O12 — JSON scalar surface on events.props
+# --------------------------------------------------------------------------
+
+@register(
+    "json_props_events",
+    """
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  FROM events GROUP BY 1
+""",
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = scan_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization: 30-minute inactivity gaps per user (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    """
+  WITH e AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ),
+  s AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM e
+  )
+  SELECT user_id, session_id,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = scan_testdata(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    e = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = e.withColumn("session_id", F.sum("new_session").over(wc))
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O16 — interval overlap join: z-score ∩ seasonal consensus intervals.
+# Theta join pre-bucketed by key (small interval sets), overlap predicate
+# a.start <= b.end AND b.start <= a.end.
+# --------------------------------------------------------------------------
+
+_IVALS_CTE = """
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  st AS (
+    SELECT domain, bucket_ts, value,
+           count(value) OVER w AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE) AS s,
+           CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sq
+    FROM pts
+    WINDOW w AS (PARTITION BY domain ORDER BY bucket_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+  ),
+  zsc AS (
+    SELECT domain, bucket_ts, value,
+           CASE WHEN n >= 8 AND
+                     sqrt(greatest((sq - s*s/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1.0),0.0))
+                     > 1e-9 + 1e-7 * abs(s/CAST(n AS DOUBLE))
+                THEN (value - s/CAST(n AS DOUBLE))
+                     / sqrt(greatest((sq - s*s/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1.0),0.0))
+           END AS score
+    FROM st
+  ),
+  sslot AS (
+    SELECT domain, hour(bucket_ts) AS hod, dayofweek(bucket_ts)+1 AS dow,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
+           CAST(sum(CAST(value*value AS DECIMAL(38,12))) AS DOUBLE) AS sq
+    FROM pts GROUP BY 1,2,3
+  ),
+  ssc AS (
+    SELECT p.domain, p.bucket_ts, p.value,
+           CASE WHEN t.n >= 3 AND
+                sqrt(greatest((t.sq - p.value*p.value - (t.s-p.value)*(t.s-p.value)/(CAST(t.n AS DOUBLE)-1.0))/(CAST(t.n AS DOUBLE)-2.0),0.0))
+                  > 1e-9 + 1e-7 * abs((t.s-p.value)/(CAST(t.n AS DOUBLE)-1.0))
+                THEN (p.value - (t.s-p.value)/(CAST(t.n AS DOUBLE)-1.0))
+                     / sqrt(greatest((t.sq - p.value*p.value - (t.s-p.value)*(t.s-p.value)/(CAST(t.n AS DOUBLE)-1.0))/(CAST(t.n AS DOUBLE)-2.0),0.0))
+           END AS score
+    FROM pts p JOIN sslot t
+      ON p.domain = t.domain AND hour(p.bucket_ts) = t.hod
+     AND dayofweek(p.bucket_ts)+1 = t.dow
+  ),
+  z_iv AS (
+    SELECT domain, min(bucket_ts) AS i_start, max(bucket_ts) AS i_end
+    FROM (
+      SELECT *, sum(edge) OVER (PARTITION BY domain ORDER BY bucket_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (SELECT domain, bucket_ts, coalesce(abs(score) > 2.0, FALSE) AS a,
+                   CASE WHEN coalesce(abs(score) > 2.0, FALSE) AND NOT coalesce(
+                     lag(coalesce(abs(score) > 2.0, FALSE)) OVER (PARTITION BY domain ORDER BY bucket_ts), FALSE)
+                   THEN 1 ELSE 0 END AS edge
+            FROM zsc) f
+    ) i WHERE a GROUP BY domain, island
+  ),
+  s_iv AS (
+    SELECT domain, min(bucket_ts) AS i_start, max(bucket_ts) AS i_end
+    FROM (
+      SELECT *, sum(edge) OVER (PARTITION BY domain ORDER BY bucket_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (SELECT domain, bucket_ts, coalesce(abs(score) > 2.0, FALSE) AS a,
+                   CASE WHEN coalesce(abs(score) > 2.0, FALSE) AND NOT coalesce(
+                     lag(coalesce(abs(score) > 2.0, FALSE)) OVER (PARTITION BY domain ORDER BY bucket_ts), FALSE)
+                   THEN 1 ELSE 0 END AS edge
+            FROM ssc) f
+    ) i WHERE a GROUP BY domain, island
+  )
+"""
+
+
+@register(
+    "consensus_intervals_events",
+    _IVALS_CTE
+    + """
+  SELECT z.domain,
+         greatest(z.i_start, s.i_start) AS overlap_start,
+         least(z.i_end, s.i_end) AS overlap_end
+  FROM z_iv z JOIN s_iv s
+    ON z.domain = s.domain AND z.i_start <= s.i_end AND s.i_start <= z.i_end
+""",
+)
+def consensus_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fischer_spark.operators.detect import (
+        anomaly_intervals,
+        seasonal_score,
+        zscore_window,
+    )
+    from fischer_spark.queries import _events_hourly_rate
+
+    pts = _events_hourly_rate(spark, sf_dir)
+    z = anomaly_intervals(zscore_window(pts, 24, 8), tau=2.0).select(
+        "domain",
+        F.col("interval_start").alias("z_start"),
+        F.col("interval_end").alias("z_end"),
+    )
+    s = anomaly_intervals(seasonal_score(pts, min_slot_n=3), tau=2.0).select(
+        "domain",
+        F.col("interval_start").alias("s_start"),
+        F.col("interval_end").alias("s_end"),
+    )
+    j = z.join(s, "domain").filter(
+        (F.col("z_start") <= F.col("s_end")) & (F.col("s_start") <= F.col("z_end"))
+    )
+    return j.select(
+        "domain",
+        F.greatest("z_start", "s_start").alias("overlap_start"),
+        F.least("z_end", "s_end").alias("overlap_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash16 — SQL-expressible simhash: per-bit majority vote over token
+# md5 nibbles (bits 0..15 from the first 4 hex digits).
+# --------------------------------------------------------------------------
+
+def _bitvote_spark(bit: int) -> str:
+    nib, off = divmod(bit, 4)
+    return (
+        f"aggregate(toks, 0, (acc, t) -> acc + CASE WHEN "
+        f"((instr('0123456789abcdef', substring(md5(cast(t as binary)), {nib + 1}, 1)) - 1) "
+        f"div {1 << off}) % 2 = 1 THEN 1 ELSE -1 END)"
+    )
+
+
+def _bitvote_duck(bit: int) -> str:
+    nib, off = divmod(bit, 4)
+    return (
+        f"list_aggregate(list_transform(toks, t -> CASE WHEN "
+        f"(((strpos('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1) "
+        f"// {1 << off}) % 2) = 1 THEN 1 ELSE -1 END), 'sum')"
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "simhash16_documents",
+    f"""
+  WITH s AS (
+    SELECT doc_id, list_distinct({_TOK_DUCK}) AS toks
+    FROM documents WHERE trim(text) <> ''
+  )
+  SELECT doc_id,
+         {' + '.join(f'(CASE WHEN {_bitvote_duck(b)} > 0 THEN {1 << b} ELSE 0 END)' for b in range(_SIMHASH_BITS))}
+           AS simhash
+  FROM s
+""",
+)
+def simhash16_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    s = d.select("doc_id", F.array_distinct(F.expr(_TOK_SPARK)).alias("toks"))
+    sim = " + ".join(
+        f"(CASE WHEN {_bitvote_spark(b)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return s.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# approx distinct (HLL) — rows-only (sketch internals differ per engine;
+# the pytest layer asserts relative error vs exact instead)
+# --------------------------------------------------------------------------
+
+@register("approx_distinct_users_events")
+def approx_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = scan_testdata(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )

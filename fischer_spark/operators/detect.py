@@ -84,39 +84,61 @@ def zscore_window(
     )
     lag_win = Window.partitionBy(*KEY_COLS).orderBy("bucket_ts")
     v = F.col(value_col)
-    zero_s = F.lit(0).cast("decimal(38,18)")
-    zero_q = F.lit(0).cast("decimal(38,12)")
-    cum_s = F.sum(v.cast("decimal(38,18)")).over(cum_win)
-    cum_q = F.sum((v * v).cast("decimal(38,12)")).over(cum_win)
-    cum_n = F.count(v).over(cum_win)  # non-null count (gap rows excluded)
-    n = F.coalesce(F.lag(cum_n, 1).over(lag_win), F.lit(0)) - F.coalesce(
-        F.lag(cum_n, w + 1).over(lag_win), F.lit(0)
-    )
-    s = (
-        F.coalesce(F.lag(cum_s, 1).over(lag_win), zero_s)
-        - F.coalesce(F.lag(cum_s, w + 1).over(lag_win), zero_s)
-    ).cast("double")
-    sq = (
-        F.coalesce(F.lag(cum_q, 1).over(lag_win), zero_q)
-        - F.coalesce(F.lag(cum_q, w + 1).over(lag_win), zero_q)
-    ).cast("double")
-    nd = n.cast("double")
-    var = (sq - s * s / nd) / (nd - F.lit(1.0))
-    # mu/sd are defined only once the trailing window holds >= min_periods
-    # points — matches pandas rolling(min_periods=...) in the Arrow form.
-    gate = n >= F.greatest(F.lit(min_periods), F.lit(2))
-    mu = F.when(gate, s / nd)
-    sd = F.when(gate, F.sqrt(F.greatest(var, F.lit(0.0))))
-    score = F.when(_sd_ok_col(sd, mu), (v - mu) / sd).otherwise(
-        F.lit(None).cast("double")
-    )
-    return series.select(
+    # staged selects so each window expression is computed ONCE — inlining
+    # them into the derived math expands to ~50 duplicate lag() evaluations
+    # in the Window node (observed in `.explain`); projections keep the
+    # plan at 3 cumulative + 6 lag window functions, all sharing one
+    # Exchange + Sort.
+    step1 = series.select(
         *KEY_COLS,
         "bucket_ts",
         v.cast("double").alias("value"),
-        mu.alias("mu"),
-        sd.alias("sd"),
-        score.alias("score"),
+        F.sum(v.cast("decimal(38,18)")).over(cum_win).alias("_cs"),
+        F.sum((v * v).cast("decimal(38,12)")).over(cum_win).alias("_cq"),
+        F.count(v).over(cum_win).alias("_cn"),  # non-null count
+    )
+    zero_s = F.lit(0).cast("decimal(38,18)")
+    zero_q = F.lit(0).cast("decimal(38,12)")
+    step2 = step1.select(
+        *KEY_COLS,
+        "bucket_ts",
+        "value",
+        (
+            F.coalesce(F.lag("_cs", 1).over(lag_win), zero_s)
+            - F.coalesce(F.lag("_cs", w + 1).over(lag_win), zero_s)
+        )
+        .cast("double")
+        .alias("_s"),
+        (
+            F.coalesce(F.lag("_cq", 1).over(lag_win), zero_q)
+            - F.coalesce(F.lag("_cq", w + 1).over(lag_win), zero_q)
+        )
+        .cast("double")
+        .alias("_sq"),
+        (
+            F.coalesce(F.lag("_cn", 1).over(lag_win), F.lit(0))
+            - F.coalesce(F.lag("_cn", w + 1).over(lag_win), F.lit(0))
+        ).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    s, sq = F.col("_s"), F.col("_sq")
+    var = (sq - s * s / nd) / (nd - F.lit(1.0))
+    # mu/sd are defined only once the trailing window holds >= min_periods
+    # points — matches pandas rolling(min_periods=...) in the Arrow form.
+    gate = F.col("_n") >= F.greatest(F.lit(min_periods), F.lit(2))
+    step3 = step2.select(
+        *KEY_COLS,
+        "bucket_ts",
+        "value",
+        F.when(gate, s / nd).alias("mu"),
+        F.when(gate, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("sd"),
+    )
+    mu, sd = F.col("mu"), F.col("sd")
+    score = F.when(_sd_ok_col(sd, mu), (F.col("value") - mu) / sd).otherwise(
+        F.lit(None).cast("double")
+    )
+    return step3.select(
+        *KEY_COLS, "bucket_ts", "value", "mu", "sd", score.alias("score")
     )
 
 

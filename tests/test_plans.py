@@ -1,0 +1,95 @@
+"""Plan-shape regression tests — the claims in BENCH/PLANS.md, asserted.
+These catch silent optimizer regressions (a dim join degrading to
+sort-merge, a filter failing to push, a window picking up an extra
+shuffle) that row-level tests can't see."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["tpch_q1ish"](spark, SF))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1].split("\n")[0]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_dim_joins_broadcast(spark):
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["revenue_by_nation"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_cascade_single_scan(spark):
+    from fischer_spark.operators.rollup import tiered_rollups
+    from fischer_spark.operators.series import crawl_rate_series
+
+    pts = crawl_rate_series(
+        spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+            "event_type as domain", "ts as warc_ts"
+        )
+    )
+    p = plan_of(tiered_rollups(pts, salt_k=8)["1d"])
+    # one scan feeding a linear agg chain
+    assert p.count("(1) Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_zscore_single_exchange_sort(spark):
+    from fischer_spark.operators.detect import zscore_window
+
+    pts = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type as domain", "'m' as metric",
+        "cast(null as string) as tag", "ts as bucket_ts", "value",
+    )
+    p = plan_of(zscore_window(pts, 24, 8))
+    assert p.count("(3) Exchange") + p.count("(4) Exchange") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+    assert len(re.findall(r"lag\(", p)) <= 8
+
+
+def test_seasonal_broadcast(spark):
+    from fischer_spark.operators.detect import seasonal_score
+
+    pts = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type as domain", "'m' as metric",
+        "cast(null as string) as tag", "ts as bucket_ts", "value",
+    )
+    p = plan_of(seasonal_score(pts))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_extraction_is_arrow_not_pickle(spark):
+    from fischer_spark.functions.text import extract_text
+
+    df = spark.createDataFrame([(b"<p>x</p>",)], "html binary").withColumn(
+        "t", extract_text("html")
+    )
+    p = plan_of(df)
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p

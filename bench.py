@@ -94,7 +94,7 @@ def main() -> None:
     pages.unpersist()
 
     t0 = time.perf_counter()
-    tiers = tiered_rollups(series, salt_k=16)
+    tiers = tiered_rollups(series, salt_k=None)  # see rollup_points_salted docstring
     for df in tiers.values():
         df.persist()
     tier_rows = {t: df.count() for t, df in tiers.items()}

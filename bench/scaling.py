@@ -44,14 +44,18 @@ c = {cpus}
 # shuffle down to ~5 tasks (measured +26% wall at 16 cores).  Skew-join
 # splitting and the rest of AQE stay on.
 spark = get_spark(
-    "scaling", master=f"local[{{c}}]", shuffle_partitions=4 * c,
+    "scaling", master=f"local[{{c}}]", shuffle_partitions=64,
     extra_conf={{"spark.sql.adaptive.coalescePartitions.enabled": "false"}},
 )
 spark.range(10_000_000).agg(F.sum("id")).collect()  # JIT warm
 pts = spark.read.parquet({src!r})
 n = pts.count()
 t0 = time.perf_counter()
-tiers = tiered_rollups(pts, salt_k=16)
+# unsalted raw->1m: map-side partial aggregation already collapses hot
+# (key, minute) groups; salting fine buckets would 5x the shuffled state
+# rows (measured 68M vs 13M on this input).  Salting is for coarse
+# hot-group aggs — see rollup_points_salted docstring.
+tiers = tiered_rollups(pts, salt_k=None)
 for df in tiers.values():
     df.persist()
 tier_rows = {{t: df.count() for t, df in tiers.items()}}

@@ -81,7 +81,17 @@ def rollup_states(states: DataFrame, tier: str) -> DataFrame:
 def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16) -> DataFrame:
     """Two-phase skew-safe rollup: partial agg on (key, bucket, salt), then
     exact combine on (key, bucket).  Salt is a deterministic hash of the
-    fine timestamp+value so re-runs shard identically."""
+    fine timestamp+value so re-runs shard identically.
+
+    WHEN TO SALT: coarse buckets where one (key, bucket) group is huge —
+    per-domain daily totals, all-time per-key aggregates — i.e. places
+    where a single reducer would receive a hot group's full combine load.
+    Do NOT salt fine buckets (raw→1m): groups there are small, map-side
+    partial aggregation already combines hot groups per input partition,
+    and salting multiplies the shuffled state rows instead (measured 5×
+    on the 80M-point bench input — BENCH/BASELINE.md).  Exactness is
+    identical either way (decimal state algebra), so the choice is purely
+    a physical one."""
     bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
     salted = points.withColumn(
         "_salt", F.pmod(F.xxhash64("bucket_ts", "value"), F.lit(salt_k))

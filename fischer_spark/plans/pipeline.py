@@ -30,6 +30,7 @@ from fischer_spark.operators.detect import (
     zscore_window,
 )
 from fischer_spark.operators.rollup import (
+    rollup_points,
     rollup_points_salted,
     rollup_states,
     with_derived_stats,
@@ -45,7 +46,8 @@ class RollupPipeline:
         spark: SparkSession,
         store: ParquetManifestStore,
         run_id: str,
-        salt_k: int = 16,
+        salt_k: int | None = None,  # salt coarse hot groups only — see rollup_points_salted
+
         zscore_w: int = 24,
         tau: float = 3.0,
     ):
@@ -102,10 +104,16 @@ class RollupPipeline:
         ]
         builders = {
             "series": lambda: build_series(pages),
-            "rollup_1m": lambda: rollup_points_salted(
-                self.store.read("series", self.completed().get("series")),
-                "1m",
-                self.salt_k,
+            "rollup_1m": lambda: (
+                rollup_points_salted(
+                    self.store.read("series", self.completed().get("series")),
+                    "1m",
+                    self.salt_k,
+                )
+                if self.salt_k
+                else rollup_points(
+                    self.store.read("series", self.completed().get("series")), "1m"
+                )
             ),
             "rollup_1h": lambda: rollup_states(
                 self.store.read("rollup_1m", self.completed().get("rollup_1m")), "1h"

@@ -349,9 +349,7 @@ def ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search: brute-force cosine top-k (O-ann baseline)
 # --------------------------------------------------------------------------
 
-@register(
-    "cosine_topk_embeddings",
-    """
+_COSINE_TOPK_SQL = """
   WITH probes AS (
     SELECT vec_id AS probe_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
@@ -373,8 +371,62 @@ def ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
   )
   SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@register(
+    "embedding_near_dups",
+    """
+  WITH c AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+             AS cos_sim
+    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+  )
+  SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
 """,
 )
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cheap
+    pre-cluster): pairwise cosine INSIDE blocks only — the same
+    block-then-verify shape as MinHash bands; at scale the block key is
+    an LSH bucket (operators/dedup.ann_topk_lsh) instead of a label."""
+    emb = scan_testdata(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", "label", "embedding")
+    a = c.alias("a")
+    b = c.alias("b")
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * cast(q as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    j = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(
+        F.expr(dot.format(x="a.embedding", y="b.embedding"))
+        / (
+            F.sqrt(F.expr(dot.format(x="a.embedding", y="a.embedding")))
+            * F.sqrt(F.expr(dot.format(x="b.embedding", y="b.embedding")))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+@register("cosine_topk_embeddings", _COSINE_TOPK_SQL)
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine: probe set is broadcast, corpus scanned once;
     dot products run as JVM higher-order functions (zip_with+aggregate),

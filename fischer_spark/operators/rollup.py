@@ -27,6 +27,7 @@ from fischer_spark.schemas import TIER_TRUNC
 
 KEY_COLS = ["domain", "metric", "tag"]
 STATE_COLS = ["cnt", "sum", "sum_sq", "min", "max"]
+FIXED64_STATE_COLS = ["cnt", "sum", "sq_aa", "sq_ab", "sq_bb", "min", "max"]
 
 # value → exact decimal: 6 fractional digits covers count/share/byte values;
 # sum_sq gets 12.  value*value is computed in double (deterministic per row)
@@ -34,8 +35,49 @@ STATE_COLS = ["cnt", "sum", "sum_sq", "min", "max"]
 _DEC_SUM = "decimal(28,6)"
 _DEC_SQ = "decimal(28,12)"
 
+# fixed64 impl: fixed-point value vs = round(value*10^6) carried in LONGS.
+# Spark's decimal sum buffer above precision 18 is BigDecimal-backed —
+# measured ~2x the whole rollup cascade wall and the dominant allocation
+# source.  Longs stay inside whole-stage codegen's primitive fast path.
+#
+# sum_sq needs ~2x the digits of vs, which doesn't fit one long, so vs is
+# split at B=2^20 (vs = a*B + b, pmod keeps 0<=b<B so it's exact floor
+# division for negatives too) and vs² = a²B² + 2abB + b² is carried as
+# three component sums (Σa², Σab, Σb²) — each a plain long sum, jointly
+# exact and associative.  Reconstruction happens once per OUTPUT row in
+# decimal (see with_derived_stats).
+#
+# Overflow bounds (ANSI mode turns violations into loud errors, never
+# silent wraparound): with |value| ≤ V and n points in one (key, bucket)
+# group, |Σvs| ≤ n·V·10⁶ and Σa² ≤ n·(V·10⁶/2²⁰)².  For V = 10⁶ (bytes
+# per page) that allows n ≈ 10⁷ points per group — two orders above a
+# 1-second-cadence key-day (86 400) — and the mandated 1m/1h/1d tiers
+# never exceed a key-day.  Beyond-1d custom tiers at extreme cadence
+# should use impl="decimal".
+_SCALE = 1_000_000
+_B = 1 << 20
 
-def _point_aggs() -> list:
+
+def _fixed64_cols():
+    v = F.col("value")
+    vs = F.round(v * F.lit(_SCALE)).cast("long")
+    b = F.pmod(vs, F.lit(_B))
+    a = ((vs - b) / F.lit(_B)).cast("long")
+    return v, vs, a, b
+
+
+def _point_aggs(impl: str = "decimal") -> list:
+    if impl == "fixed64":
+        v, vs, a, b = _fixed64_cols()
+        return [
+            F.count(v).alias("cnt"),
+            F.sum(vs).alias("sum"),
+            F.sum(a * a).alias("sq_aa"),
+            F.sum(a * b).alias("sq_ab"),
+            F.sum(b * b).alias("sq_bb"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+        ]
     v = F.col("value")
     return [
         F.count(v).alias("cnt"),
@@ -46,39 +88,54 @@ def _point_aggs() -> list:
     ]
 
 
-def _state_aggs() -> list:
-    return [
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
-        F.sum("sum_sq").alias("sum_sq"),
+def _state_aggs(impl: str = "decimal") -> list:
+    sums = FIXED64_STATE_COLS[:5] if impl == "fixed64" else STATE_COLS[:3]
+    return [F.sum(c).alias(c) for c in sums] + [
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     ]
 
 
-def rollup_points(points: DataFrame, tier: str) -> DataFrame:
+def state_cols(impl: str = "decimal") -> list[str]:
+    return FIXED64_STATE_COLS if impl == "fixed64" else STATE_COLS
+
+
+def _keys_of(points: DataFrame) -> list[str]:
+    """Series key columns: dictionary-encoded ``key_id`` when present
+    (the scale path — one long instead of three strings through scan,
+    agg map, and shuffle), else the string key triple."""
+    return ["key_id"] if "key_id" in points.columns else KEY_COLS
+
+
+def rollup_points(points: DataFrame, tier: str, impl: str = "decimal") -> DataFrame:
     """Raw series points → one tier of algebraic states."""
     bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    keys = _keys_of(points)
     return (
-        points.groupBy(*KEY_COLS, bucket)
-        .agg(*_point_aggs())
+        points.groupBy(*keys, bucket)
+        .agg(*_point_aggs(impl))
         .withColumn("tier", F.lit(tier))
-        .select(*KEY_COLS, "tier", "bucket_ts", *STATE_COLS)
+        .select(*keys, "tier", "bucket_ts", *state_cols(impl))
     )
 
 
 def rollup_states(states: DataFrame, tier: str) -> DataFrame:
-    """Finer-tier states → coarser tier, by exact state addition."""
+    """Finer-tier states → coarser tier, by exact state addition.
+
+    The state impl is inferred from the columns present, so a cascade
+    started in either impl re-aggregates consistently."""
+    impl = "fixed64" if "sq_aa" in states.columns else "decimal"
     bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    keys = _keys_of(states)
     return (
-        states.groupBy(*KEY_COLS, bucket)
-        .agg(*_state_aggs())
+        states.groupBy(*keys, bucket)
+        .agg(*_state_aggs(impl))
         .withColumn("tier", F.lit(tier))
-        .select(*KEY_COLS, "tier", "bucket_ts", *STATE_COLS)
+        .select(*keys, "tier", "bucket_ts", *state_cols(impl))
     )
 
 
-def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16) -> DataFrame:
+def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16, impl: str = "decimal") -> DataFrame:
     """Two-phase skew-safe rollup: partial agg on (key, bucket, salt), then
     exact combine on (key, bucket).  Salt is a deterministic hash of the
     fine timestamp+value so re-runs shard identically.
@@ -93,15 +150,16 @@ def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16) -> Data
     identical either way (decimal state algebra), so the choice is purely
     a physical one."""
     bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    keys = _keys_of(points)
     salted = points.withColumn(
         "_salt", F.pmod(F.xxhash64("bucket_ts", "value"), F.lit(salt_k))
     )
-    partial = salted.groupBy(*KEY_COLS, bucket, "_salt").agg(*_point_aggs())
+    partial = salted.groupBy(*keys, bucket, "_salt").agg(*_point_aggs(impl))
     return (
-        partial.groupBy(*KEY_COLS, "bucket_ts")
-        .agg(*_state_aggs())
+        partial.groupBy(*keys, "bucket_ts")
+        .agg(*_state_aggs(impl))
         .withColumn("tier", F.lit(tier))
-        .select(*KEY_COLS, "tier", "bucket_ts", *STATE_COLS)
+        .select(*keys, "tier", "bucket_ts", *state_cols(impl))
     )
 
 
@@ -112,8 +170,22 @@ def with_derived_stats(states: DataFrame) -> DataFrame:
     n<2 and for tiny negative residue from the final double conversion.
     """
     n = F.col("cnt").cast("double")
-    s = F.col("sum").cast("double")
-    sq = F.col("sum_sq").cast("double")
+    if "sq_aa" in states.columns:
+        # fixed64: reconstruct sum and sum_sq from the exact long state,
+        # once per OUTPUT row.  sum_sq·10¹² = Σa²·B² + 2Σab·B + Σb²; the
+        # state is exact, so this derivation is a pure per-row function —
+        # partitioning/parallelism cannot change it.  The double combine
+        # rounds at ~1e-16 relative, same order as the decimal impl's
+        # final double cast.
+        s = F.col("sum").cast("double") / F.lit(float(_SCALE))
+        sq = (
+            F.col("sq_aa").cast("double") * F.lit(float(_B * _B))
+            + F.col("sq_ab").cast("double") * F.lit(float(2 * _B))
+            + F.col("sq_bb").cast("double")
+        ) / F.lit(float(_SCALE * _SCALE))
+    else:
+        s = F.col("sum").cast("double")
+        sq = F.col("sum_sq").cast("double")
     var = (sq - (s * s) / n) / (n - F.lit(1.0))
     return states.withColumn("mean", s / n).withColumn(
         "stddev",
@@ -123,14 +195,14 @@ def with_derived_stats(states: DataFrame) -> DataFrame:
     )
 
 
-def tiered_rollups(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"), salt_k: int | None = None) -> dict[str, DataFrame]:
+def tiered_rollups(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"), salt_k: int | None = None, impl: str = "decimal") -> dict[str, DataFrame]:
     """The continuous-aggregate cascade: raw→1m once, then 1m→1h→1d from
     states.  Raw data is touched exactly once regardless of tier count."""
     out: dict[str, DataFrame] = {}
     base = (
-        rollup_points_salted(points, tiers[0], salt_k)
+        rollup_points_salted(points, tiers[0], salt_k, impl)
         if salt_k
-        else rollup_points(points, tiers[0])
+        else rollup_points(points, tiers[0], impl)
     )
     out[tiers[0]] = base
     prev = base

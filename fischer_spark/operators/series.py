@@ -63,6 +63,41 @@ def lang_mix_series(pages: DataFrame) -> DataFrame:
     )
 
 
+def encode_series_keys(points: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode the (domain, metric, tag) key triple into one
+    long ``key_id`` — the standard TSDB series-id pattern (Gorilla /
+    Prometheus keep label sets out of the sample hot path the same way).
+
+    Carrying one long instead of three strings through scan → partial-agg
+    map → shuffle → state tables cuts per-row bytes and allocation; the
+    rollup operators group by ``key_id`` automatically when present.
+
+    key_id = xxhash64(key triple): stateless and deterministic (no extra
+    shuffle to assign ids; re-runs and different partitionings agree).
+    Collision odds for K keys ≈ K²/2⁶⁵: ~3·10⁻⁴ at K = 10⁸ domains.
+    ``verify_key_encoding`` checks injectivity on the (small) dim table —
+    run it once per ingest at scale; on a detected collision, fall back
+    to dense ids from the dim table (row_number over the dim).
+
+    Returns (encoded points without the string keys, key dim table).
+    """
+    enc = points.withColumn("key_id", F.xxhash64(*KEY_COLS))
+    dim = enc.select("key_id", *KEY_COLS).distinct()
+    return enc.drop(*KEY_COLS).select("key_id", "bucket_ts", "value"), dim
+
+
+def verify_key_encoding(dim: DataFrame) -> bool:
+    """True iff key_id is injective over the dim table (no hash collision)."""
+    n = dim.count()
+    return dim.select("key_id").distinct().count() == n
+
+
+def decode_series_keys(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Join the string key triple back onto key_id rows (broadcast — the
+    dim is orders of magnitude smaller than any state table)."""
+    return df.join(F.broadcast(dim), "key_id", "left")
+
+
 def build_series(pages: DataFrame, families: tuple[str, ...] = ("crawl_rate", "page_size", "lang_mix")) -> DataFrame:
     """Union of the requested series families in canonical long form."""
     builders = {

@@ -62,6 +62,56 @@ def test_derived_stats_match_native(points):
     assert_df_equal(derived, native, tol=1e-9)
 
 
+def test_fixed64_tier_parity_and_partitioning(points):
+    """fixed64 long-state impl: exact cascade + partitioning invariance
+    (the properties that let AQE re-plan freely without changing a bit)."""
+    direct = rollup_points(points, "1h", impl="fixed64")
+    cascaded = rollup_states(rollup_points(points, "1m", impl="fixed64"), "1h")
+    assert_df_equal(direct, cascaded)
+    a = rollup_points(points.repartition(3), "1h", impl="fixed64")
+    b = rollup_points(points.repartition(37), "1h", impl="fixed64")
+    assert_df_equal(a, b)
+
+
+def test_fixed64_salted_equals_unsalted(points):
+    plain = rollup_points(points, "1h", impl="fixed64")
+    salted = rollup_points_salted(points, "1h", salt_k=16, impl="fixed64")
+    assert_df_equal(plain, salted)
+
+
+def test_fixed64_derived_stats_match_decimal(points):
+    """Derived mean/stddev agree across state impls.
+
+    Not bit-identical by construction (fixed64 rounds value→6 decimals
+    via double·10⁶ HALF_UP, decimal via cast) but any difference is
+    ≤1e-6 on the value, far below detector thresholds."""
+    keys = ["domain", "metric", "tag", "bucket_ts"]
+    dec = with_derived_stats(rollup_points(points, "1h")).select(*keys, "mean", "stddev")
+    fix = with_derived_stats(rollup_points(points, "1h", impl="fixed64")).select(
+        *keys, "mean", "stddev"
+    )
+    assert_df_equal(dec, fix, tol=1e-5)
+
+
+def test_key_id_rollup_matches_string_key_rollup(points):
+    """Dictionary-encoded key_id path == string-key path after decode."""
+    from fischer_spark.operators.series import (
+        decode_series_keys,
+        encode_series_keys,
+        verify_key_encoding,
+    )
+
+    enc, dim = encode_series_keys(points)
+    assert verify_key_encoding(dim)
+    via_id = decode_series_keys(rollup_points(enc, "1h"), dim).select(
+        "domain", "metric", "tag", "bucket_ts", "cnt", "sum", "sum_sq", "min", "max"
+    )
+    direct = rollup_points(points, "1h").select(
+        "domain", "metric", "tag", "bucket_ts", "cnt", "sum", "sum_sq", "min", "max"
+    )
+    assert_df_equal(via_id, direct)
+
+
 def test_tiered_cascade_shape(points):
     tiers = tiered_rollups(points, salt_k=8)
     n1m = tiers["1m"].count()

@@ -39,7 +39,11 @@ def main() -> None:
         zscore_window,
     )
     from fischer_spark.operators.rollup import tiered_rollups, with_derived_stats
-    from fischer_spark.operators.series import build_series
+    from fischer_spark.operators.series import (
+        build_series,
+        decode_series_keys,
+        encode_series_keys,
+    )
     from fischer_spark.queries import get_oracles, get_queries
     from fischer_spark.session import get_spark
     from fischer_spark.sources.pages import synth_pages
@@ -87,21 +91,24 @@ def main() -> None:
         .persist()
     )
     n_raw = pages.count()
-    series = build_series(pages)
+    series, key_dim = encode_series_keys(build_series(pages))
     series.persist()
+    key_dim.persist()
     n_points = series.count()
     t_series = time.perf_counter() - t0
     pages.unpersist()
 
     t0 = time.perf_counter()
-    tiers = tiered_rollups(series, salt_k=None)  # see rollup_points_salted docstring
+    # fast path: dictionary-encoded keys + fixed64 long states (salting
+    # reserved for coarse hot groups — see rollup_points_salted docstring)
+    tiers = tiered_rollups(series, salt_k=None, impl="fixed64")
     for df in tiers.values():
         df.persist()
     tier_rows = {t: df.count() for t, df in tiers.items()}
     t_rollup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    hourly = with_derived_stats(tiers["1h"]).select(
+    hourly = decode_series_keys(with_derived_stats(tiers["1h"]), key_dim).select(
         "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
     )
     scored_z = zscore_window(hourly, w=24, min_periods=8)
@@ -111,6 +118,7 @@ def main() -> None:
     t_detect = time.perf_counter() - t0
 
     series.unpersist()
+    key_dim.unpersist()
     for df in tiers.values():
         df.unpersist()
 

@@ -35,7 +35,11 @@ from fischer_spark.operators.rollup import (
     rollup_states,
     with_derived_stats,
 )
-from fischer_spark.operators.series import build_series
+from fischer_spark.operators.series import (
+    build_series,
+    decode_series_keys,
+    encode_series_keys,
+)
 from fischer_spark.plans.lineage import with_lineage
 from fischer_spark.sources.storage import ParquetManifestStore, _atomic_write_json
 
@@ -50,6 +54,8 @@ class RollupPipeline:
 
         zscore_w: int = 24,
         tau: float = 3.0,
+        impl: str = "decimal",  # rollup state impl; "fixed64" = long fast path
+        encode_keys: bool = False,  # dictionary-encode series keys in the rollup hot path
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -60,6 +66,8 @@ class RollupPipeline:
         self.salt_k = salt_k
         self.zscore_w = zscore_w
         self.tau = tau
+        self.impl = impl
+        self.encode_keys = encode_keys
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
     # -- run-manifest ------------------------------------------------------
@@ -105,15 +113,9 @@ class RollupPipeline:
         builders = {
             "series": lambda: build_series(pages),
             "rollup_1m": lambda: (
-                rollup_points_salted(
-                    self.store.read("series", self.completed().get("series")),
-                    "1m",
-                    self.salt_k,
-                )
+                rollup_points_salted(self._series_points(), "1m", self.salt_k, self.impl)
                 if self.salt_k
-                else rollup_points(
-                    self.store.read("series", self.completed().get("series")), "1m"
-                )
+                else rollup_points(self._series_points(), "1m", self.impl)
             ),
             "rollup_1h": lambda: rollup_states(
                 self.store.read("rollup_1m", self.completed().get("rollup_1m")), "1h"
@@ -144,8 +146,22 @@ class RollupPipeline:
                 break
         return out
 
+    def _series_points(self) -> DataFrame:
+        """The stored series, key-encoded for the rollup hot path when
+        configured (one long key instead of three strings through the
+        full-volume shuffle; encoding is a stateless hash, so the dim is
+        recomputable from the stored series — no extra stage)."""
+        src = self.store.read("series", self.completed().get("series"))
+        if self.encode_keys:
+            src, _ = encode_series_keys(src)
+        return src
+
     def _hourly_means(self) -> DataFrame:
         states = self.store.read("rollup_1h", self.completed().get("rollup_1h"))
+        if self.encode_keys:
+            series = self.store.read("series", self.completed().get("series"))
+            _, dim = encode_series_keys(series)
+            states = decode_series_keys(states, dim)
         return with_derived_stats(states).select(
             "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
         )

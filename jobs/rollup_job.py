@@ -37,6 +37,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--salt-k", type=int, default=16)
     ap.add_argument("--tau", type=float, default=3.0)
+    ap.add_argument(
+        "--impl",
+        default="decimal",
+        choices=["decimal", "fixed64"],
+        help="rollup state representation (fixed64 = long-backed fast path)",
+    )
+    ap.add_argument(
+        "--encode-keys",
+        action="store_true",
+        help="dictionary-encode series keys through the rollup hot path",
+    )
     ap.add_argument("--until", default=None, help="stop after this stage (debug/crash-test)")
     ap.add_argument(
         "--retain-as-of",
@@ -66,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
 
     store = ParquetManifestStore(spark, args.warehouse)
     pipe = RollupPipeline(
-        spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau
+        spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
+        impl=args.impl, encode_keys=args.encode_keys,
     )
     snaps = pipe.run(pages, until=args.until)
     print(f"run {args.run_id}: {len(snaps)} stages committed")

@@ -72,3 +72,43 @@ def test_lineage_rows(spark, tmp_path, small_pages):
     series_rows = lin.filter(F.col("stage") == "series").agg(F.sum("input_rows")).collect()[0][0]
     assert series_rows == ParquetManifestStore(spark, root).read("series").count()
     assert all(r.wall_ms >= 0 for r in rows)
+
+
+def test_fast_path_pipeline_matches_default(spark, tmp_path, small_pages):
+    """impl=fixed64 + encode_keys runs the same DAG and yields hourly
+    means within fixed-point tolerance and identical interval counts."""
+    root_d = str(tmp_path / "dec")
+    root_f = str(tmp_path / "fix")
+    RollupPipeline(spark, ParquetManifestStore(spark, root_d), "r1").run(small_pages)
+    RollupPipeline(
+        spark, ParquetManifestStore(spark, root_f), "r1",
+        impl="fixed64", encode_keys=True,
+    ).run(small_pages)
+
+    sd = ParquetManifestStore(spark, root_d)
+    sf = ParquetManifestStore(spark, root_f)
+    # fast-path 1h states carry key_id + long components instead
+    d1h, f1h = sd.read("rollup_1h"), sf.read("rollup_1h")
+    assert "key_id" in f1h.columns and "sq_aa" in f1h.columns
+    assert d1h.count() == f1h.count()
+
+    from fischer_spark.operators.rollup import with_derived_stats
+    from fischer_spark.operators.series import decode_series_keys, encode_series_keys
+
+    _, dim = encode_series_keys(sf.read("series"))
+    dec = with_derived_stats(d1h).select("domain", "metric", "tag", "bucket_ts", "mean")
+    fix = decode_series_keys(with_derived_stats(f1h), dim).select(
+        "domain", "metric", "tag", "bucket_ts", "mean"
+    )
+    joined = dec.alias("a").join(
+        fix.alias("b"),
+        [F.expr(f"a.{c} <=> b.{c}") for c in ("domain", "metric", "tag", "bucket_ts")],
+    )
+    assert joined.count() == d1h.count()
+    max_diff = joined.agg(
+        F.max(F.abs(F.col("a.mean") - F.col("b.mean")))
+    ).collect()[0][0]
+    assert max_diff < 1e-6
+
+    for table in ("zscore_intervals", "seasonal_intervals"):
+        assert sd.read(table).count() == sf.read(table).count(), table

@@ -77,14 +77,14 @@ t0 = time.perf_counter()
 # production cascade: raw is touched once; each tier is persisted to
 # storage (as the real job does) and the next tier re-aggregates the
 # exact states from what was written.
-rollup_points(pts, "1m", impl="fixed64").write.mode("overwrite").parquet(f"{out}/1m")
-m1 = spark.read.parquet(f"{out}/1m")
-rollup_states(m1, "1h").write.mode("overwrite").parquet(f"{out}/1h")
-h1 = spark.read.parquet(f"{out}/1h")
-rollup_states(h1, "1d").write.mode("overwrite").parquet(f"{out}/1d")
+rollup_points(pts, "1m", impl="fixed64").write.mode("overwrite").parquet(out + "/1m")
+m1 = spark.read.parquet(out + "/1m")
+rollup_states(m1, "1h").write.mode("overwrite").parquet(out + "/1h")
+h1 = spark.read.parquet(out + "/1h")
+rollup_states(h1, "1d").write.mode("overwrite").parquet(out + "/1d")
 t_roll = time.perf_counter() - t0
-tier_rows = {"1m": m1.count(), "1h": h1.count(),
-             "1d": spark.read.parquet(f"{out}/1d").count()}
+tier_rows = dict(m1=m1.count(), h1=h1.count(),
+                 d1=spark.read.parquet(out + "/1d").count())
 t0 = time.perf_counter()
 dim = spark.read.parquet({dim!r})
 hourly = decode_series_keys(with_derived_stats(h1), dim).select(
@@ -92,8 +92,8 @@ hourly = decode_series_keys(with_derived_stats(h1), dim).select(
 iv = anomaly_intervals(zscore_window(hourly, 24, 8), tau=3.0).count()
 iv += anomaly_intervals(seasonal_score(hourly), tau=3.0).count()
 t_det = time.perf_counter() - t0
-print(json.dumps({"n": n, "t_roll": t_roll, "t_det": t_det,
-                  "tier_rows": tier_rows, "ivals": iv}))
+print(json.dumps(dict(n=n, t_roll=t_roll, t_det=t_det,
+                      tier_rows=tier_rows, ivals=iv)))
 spark.stop()
 """
 
@@ -109,7 +109,7 @@ pts = spark.read.parquet({src!r})
 t0 = time.perf_counter()
 pts.agg(F.bit_xor(F.xxhash64("key_id", "bucket_ts", "value"))).collect()
 t_scan = time.perf_counter() - t0
-print(json.dumps({"t_cpu": t_cpu, "t_scan": t_scan}))
+print(json.dumps(dict(t_cpu=t_cpu, t_scan=t_scan)))
 spark.stop()
 """
 

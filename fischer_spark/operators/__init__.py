@@ -1,4 +1,9 @@
-from fischer_spark.operators.series import build_series
+from fischer_spark.operators.series import (
+    build_series,
+    decode_series_keys,
+    encode_series_keys,
+    verify_key_encoding,
+)
 from fischer_spark.operators.rollup import (
     rollup_points,
     rollup_states,
@@ -18,6 +23,9 @@ from fischer_spark.operators.detect import (
 
 __all__ = [
     "build_series",
+    "encode_series_keys",
+    "decode_series_keys",
+    "verify_key_encoding",
     "rollup_points",
     "rollup_states",
     "rollup_points_salted",

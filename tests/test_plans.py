@@ -93,3 +93,21 @@ def test_extraction_is_arrow_not_pickle(spark):
     p = plan_of(df)
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_fixed64_rollup_plan_is_long_only_single_exchange(spark):
+    """The fast-path 1m rollup: one shuffle, no decimal in the aggregate
+    (long-backed codegen path), no string key columns through the wire."""
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import encode_series_keys
+    from fischer_spark.sources.series_gen import synth_series
+
+    pts, _ = encode_series_keys(synth_series(spark, n_keys=10, points_per_key=100))
+    p = plan_of(rollup_points(pts, "1m", impl="fixed64"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1  # one wire: partial below, final above
+    ex_args = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert ex_args and "key_id" in ex_args[0] and "domain" not in ex_args[0]
+    # aggregate functions are all long-backed — no BigDecimal buffers
+    fn_lines = [l for l in p.splitlines() if l.startswith("Functions")]
+    assert fn_lines and all("decimal" not in l for l in fn_lines)
+    assert "HashAggregate" in p

@@ -91,10 +91,13 @@ def main() -> None:
         .persist()
     )
     n_raw = pages.count()
-    series, key_dim = encode_series_keys(build_series(pages))
+    raw_series = build_series(pages).persist()  # shared parent: see encode_series_keys caching note
+    series, key_dim = encode_series_keys(raw_series)
     series.persist()
     key_dim.persist()
     n_points = series.count()
+    key_dim.count()
+    raw_series.unpersist()
     t_series = time.perf_counter() - t0
     pages.unpersist()
 

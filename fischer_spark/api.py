@@ -95,3 +95,74 @@ class Series:
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
+
+
+# -- query_range: the Prometheus-style read surface -------------------------
+
+_TIER_S = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def query_range(
+    store,
+    metric: str,
+    start: str,
+    end: str,
+    step_s: int,
+    domain: str | None = None,
+    tag: str | None = None,
+    stat: str = "mean",
+):
+    """Prometheus ``query_range``-shaped read over the rollup tier store
+    (fischer's consumers read exactly this form: per-series label sets +
+    [ts, value] samples).
+
+    Tier selection: the coarsest materialized tier whose bucket divides
+    ``step_s`` — so a 2h-step query touches 1/3600 of the raw rows via
+    the 1h tier and re-buckets by EXACT state addition (never
+    recomputing from raw).  Label/time predicates are plain column
+    filters, pushed into the tier scan by Catalyst.
+
+    Returns (domain, metric, tag, bucket_ts, value) rows where value is
+    the requested stat (mean/min/max/count/sum) derived from the merged
+    state per step bucket.
+    """
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.rollup import (
+        _state_aggs,
+        with_derived_stats,
+    )
+
+    tier = next(
+        (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), "1m"
+    )
+    states = store.read(f"rollup_{tier}")
+    states = states.filter(
+        (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
+    )
+    if metric is not None:
+        states = states.filter(F.col("metric") == metric)
+    if domain is not None:
+        states = states.filter(F.col("domain") == domain)
+    if tag is not None:
+        states = states.filter(F.col("tag") == tag)
+
+    impl = "fixed64" if "sq_aa" in states.columns else "decimal"
+    step_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
+    ).alias("bucket_ts")
+    merged = states.groupBy("domain", "metric", "tag", step_bucket).agg(
+        *_state_aggs(impl)
+    )
+    derived = with_derived_stats(merged)
+    val = {
+        "mean": F.col("mean"),
+        "stddev": F.col("stddev"),
+        "min": F.col("min"),
+        "max": F.col("max"),
+        "count": F.col("cnt").cast("double"),
+        "sum": (F.col("sum").cast("double") / (1e6 if impl == "fixed64" else 1.0)),
+    }[stat]
+    return derived.select(
+        "domain", "metric", "tag", "bucket_ts", val.alias("value")
+    ).orderBy("domain", "tag", "bucket_ts")

@@ -210,3 +210,46 @@ def tiered_rollups(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"
         prev = rollup_states(prev, t)
         out[t] = prev
     return out
+
+
+def refresh_tier(
+    store,
+    table: str,
+    tier: str,
+    new_points: DataFrame,
+    impl: str = "decimal",
+) -> str | None:
+    """Incremental continuous-aggregate refresh: roll up ONLY the tier
+    buckets touched by ``new_points`` and overwrite exactly that bucket
+    range in ``table``. Untouched buckets are never rewritten; the
+    range overwrite is the idempotent exactly-once unit (storage.py
+    ``overwrite_range``).
+
+    The delta is MERGED onto existing states by exact state addition
+    (``rollup_states`` over the union — associative in both impls), so
+    a refresh is O(delta + touched-bucket states), never O(history).
+    Requires ``new_points`` to be strictly new (exactly-once ingest);
+    with at-least-once input, re-rollup the affected range from the raw
+    series store instead of merging.
+
+    Returns the committed snapshot id, or None for an empty delta.
+    """
+    tier_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    delta = rollup_points(new_points, tier, impl).persist()
+    bounds = delta.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    if bounds[0] is None:
+        delta.unpersist()
+        return None
+    lo, hi = bounds
+    import datetime
+
+    hi_excl = hi + datetime.timedelta(seconds=tier_s)
+    existing = store.read(table).filter(
+        (F.col("bucket_ts") >= F.lit(lo)) & (F.col("bucket_ts") < F.lit(hi_excl))
+    )
+    merged = rollup_states(existing.unionByName(delta), tier)
+    snap = store.overwrite_range(
+        table, merged, "bucket_ts", str(lo), str(hi_excl)
+    )
+    delta.unpersist()
+    return snap

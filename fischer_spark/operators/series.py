@@ -80,6 +80,12 @@ def encode_series_keys(points: DataFrame) -> tuple[DataFrame, DataFrame]:
     to dense ids from the dim table (row_number over the dim).
 
     Returns (encoded points without the string keys, key dim table).
+
+    CACHING NOTE: both outputs share the input's lineage. If the input
+    is an unmaterialized computation (e.g. build_series over raw pages),
+    cache it before materializing BOTH outputs, or the dim's distinct
+    will recompute the whole upstream (measured: the dim materialization
+    silently re-ran a 24s series build in the bench pipeline).
     """
     enc = points.withColumn("key_id", F.xxhash64(*KEY_COLS))
     dim = enc.select("key_id", *KEY_COLS).distinct()

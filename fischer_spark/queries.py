@@ -170,6 +170,37 @@ def rollup_1d_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived_select(rollup_states(t1h, "1d"))
 
 
+@register(
+    "query_range_2h_events",
+    f"""
+    WITH states AS (
+      SELECT event_type AS domain,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT)) AS TIMESTAMP) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    {_STATE_SQL_BODY}
+    """,
+)
+def query_range_2h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """api.query_range semantics, driver-gated: a 2h-step range read is
+    served from the 1h tier by EXACT state re-aggregation (never raw);
+    the oracle aggregates raw directly at 2h.  Passing proves arbitrary
+    step re-bucketing composes exactly, the property query_range relies
+    on (see fischer_spark/api.py)."""
+    from fischer_spark.operators.rollup import _state_aggs
+
+    t1h = rollup_points(_events_series(spark, sf_dir), "1h")
+    step = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / 7200).cast("long") * 7200
+    ).alias("bucket_ts")
+    merged = t1h.groupBy("domain", step).agg(*_state_aggs("decimal"))
+    return _derived_select(merged)
+
+
 # --------------------------------------------------------------------------
 # O24/O25 — gap-fill on the hourly event-rate series
 # --------------------------------------------------------------------------

@@ -49,3 +49,43 @@ def test_gapfill_then_seasonal(pages):
         .score("seasonal")
     )
     assert out.df.count() > 0
+
+
+def test_query_range_rebuckets_from_coarsest_dividing_tier(spark, tmp_path):
+    """query_range(step=2h) must equal a direct 2h aggregation over raw
+    points — via the 1h tier's exact state re-aggregation, never raw."""
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from pyspark.sql import functions as F
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 4000, seed=7).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    points = build_series(pages)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(points, "1h"))
+
+    import datetime
+
+    lo, hi = points.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    start = lo.replace(minute=0, second=0, microsecond=0) - datetime.timedelta(
+        hours=lo.hour % 2
+    )  # aligned to the 2h step grid
+    end = hi + datetime.timedelta(hours=1)  # past the last 1h bucket
+    got = query_range(store, "crawl_rate", str(start), str(end), step_s=7200, stat="mean")
+
+    step_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / 7200).cast("long") * 7200
+    ).alias("bucket_ts")
+    want = (
+        points.filter(F.col("metric") == "crawl_rate")
+        .groupBy("domain", "metric", "tag", step_bucket)
+        .agg(F.avg("value").alias("value"))
+    )
+    assert_df_equal(got, want, tol=1e-9)

@@ -123,3 +123,35 @@ def test_tiered_cascade_shape(points):
     for t, df in tiers.items():
         if t == "1m":
             assert df.agg(F.sum("cnt")).collect()[0][0] == tot
+
+
+def test_refresh_tier_incremental_merge(spark, points, tmp_path):
+    """Continuous-aggregate refresh: ingest in two batches split MID-bucket
+    (the delta must merge onto an existing partial state), result equals
+    the single-batch rollup exactly; only touched buckets were rewritten."""
+    from fischer_spark.operators.rollup import refresh_tier
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    cut = points.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("bucket_ts")) + F.unix_timestamp(F.max("bucket_ts")))
+            / 2 + 1801  # off the hour grid → mid-bucket split
+        )
+    ).collect()[0][0]
+    first, second = points.filter(F.col("bucket_ts") < F.lit(cut)), points.filter(
+        F.col("bucket_ts") >= F.lit(cut)
+    )
+    assert first.count() > 0 and second.count() > 0
+
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(first, "1h"))
+    snap = refresh_tier(store, "rollup_1h", "1h", second)
+    assert snap is not None
+
+    assert_df_equal(store.read("rollup_1h"), rollup_points(points, "1h"))
+
+    # the refresh overwrote only the delta's bucket range
+    ops = store.snapshots("rollup_1h")
+    assert ops[-1]["op"] == "overwrite_range"
+    lo = second.agg(F.date_trunc("hour", F.min("bucket_ts"))).collect()[0][0]
+    assert str(lo) == ops[-1]["lo"]

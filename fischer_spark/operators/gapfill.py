@@ -11,6 +11,15 @@ Pure DataFrame closed forms (DuckDB-oracle-expressible):
 Scale note (SURVEY.md §7 hard-part 5): the spine is O(key × span/tier).
 Gap-fill is intended at domain granularity (≤ millions of keys), not url
 granularity; url-level fill must be window-bounded by the caller.
+
+Determinism note: a bucket holding SEVERAL real points has no inherent
+row order, and the carried/anchor value for neighbouring gaps must not
+depend on partitioning.  The fill windows therefore order by
+(bucket_ts, value) — ties broken by value — making the LOCF carry the
+bucket's max and linear's prev/next anchors the prev-max/next-min.
+Callers wanting mean-anchored fill should pre-aggregate buckets first
+(rollup → fill over the derived mean).  Caught by the pipeline test:
+unordered ties made two identical runs disagree on filled minutes.
 """
 
 from __future__ import annotations
@@ -60,7 +69,7 @@ def gapfill_locf(points: DataFrame, tier: str) -> DataFrame:
     dense = bucket_spine(points, tier)
     w = (
         Window.partitionBy(*KEY_COLS)
-        .orderBy("bucket_ts")
+        .orderBy("bucket_ts", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return dense.withColumn(
@@ -74,12 +83,12 @@ def gapfill_linear(points: DataFrame, tier: str) -> DataFrame:
     dense = bucket_spine(points, tier)
     wp = (
         Window.partitionBy(*KEY_COLS)
-        .orderBy("bucket_ts")
+        .orderBy("bucket_ts", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
         Window.partitionBy(*KEY_COLS)
-        .orderBy("bucket_ts")
+        .orderBy("bucket_ts", "value")
         .rowsBetween(0, Window.unboundedFollowing)
     )
     real_ts = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))

@@ -56,6 +56,7 @@ class RollupPipeline:
         tau: float = 3.0,
         impl: str = "decimal",  # rollup state impl; "fixed64" = long fast path
         encode_keys: bool = False,  # dictionary-encode series keys in the rollup hot path
+        gapfill: str | None = None,  # "locf" | "linear": fill the 1m spine before rollup
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -68,6 +69,9 @@ class RollupPipeline:
         self.tau = tau
         self.impl = impl
         self.encode_keys = encode_keys
+        if gapfill not in (None, "locf", "linear"):
+            raise ValueError(f"unknown gapfill method {gapfill!r}")
+        self.gapfill = gapfill
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
     # -- run-manifest ------------------------------------------------------
@@ -103,6 +107,7 @@ class RollupPipeline:
         the crash-injection hook for resume tests."""
         order = [
             "series",
+            *(["series_filled"] if self.gapfill else []),
             "rollup_1m",
             "rollup_1h",
             "rollup_1d",
@@ -112,6 +117,7 @@ class RollupPipeline:
         ]
         builders = {
             "series": lambda: build_series(pages),
+            "series_filled": lambda: self._gapfilled_series(),
             "rollup_1m": lambda: (
                 rollup_points_salted(self._series_points(), "1m", self.salt_k, self.impl)
                 if self.salt_k
@@ -146,12 +152,32 @@ class RollupPipeline:
                 break
         return out
 
+    def _gapfilled_series(self) -> DataFrame:
+        """North-star ordering: the 1m bucket spine is gap-filled
+        (LOCF/linear) BEFORE rollup, so continuous aggregates and
+        detectors see a dense series.  Leading/edge buckets the method
+        cannot fill stay absent (dropped nulls), matching the gap-fill
+        operator's documented edge semantics."""
+        from fischer_spark.operators.gapfill import gapfill_linear, gapfill_locf
+
+        fn = {"locf": gapfill_locf, "linear": gapfill_linear}[self.gapfill]
+        filled = fn(self.store.read("series", self.completed().get("series")), "1m")
+        return filled.filter(F.col("value_filled").isNotNull()).select(
+            "domain",
+            "metric",
+            "tag",
+            "bucket_ts",
+            F.col("value_filled").alias("value"),
+        )
+
     def _series_points(self) -> DataFrame:
-        """The stored series, key-encoded for the rollup hot path when
-        configured (one long key instead of three strings through the
-        full-volume shuffle; encoding is a stateless hash, so the dim is
-        recomputable from the stored series — no extra stage)."""
-        src = self.store.read("series", self.completed().get("series"))
+        """The stored series (gap-filled stage when configured),
+        key-encoded for the rollup hot path when configured (one long
+        key instead of three strings through the full-volume shuffle;
+        encoding is a stateless hash, so the dim is recomputable from
+        the stored series — no extra stage)."""
+        table = "series_filled" if self.gapfill else "series"
+        src = self.store.read(table, self.completed().get(table))
         if self.encode_keys:
             src, _ = encode_series_keys(src)
         return src

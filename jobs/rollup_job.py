@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="dictionary-encode series keys through the rollup hot path",
     )
+    ap.add_argument(
+        "--gapfill",
+        default=None,
+        choices=["locf", "linear"],
+        help="gap-fill the 1m series spine before rollup (north-star ordering)",
+    )
     ap.add_argument("--until", default=None, help="stop after this stage (debug/crash-test)")
     ap.add_argument(
         "--retain-as-of",
@@ -78,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     store = ParquetManifestStore(spark, args.warehouse)
     pipe = RollupPipeline(
         spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
-        impl=args.impl, encode_keys=args.encode_keys,
+        impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
     )
     snaps = pipe.run(pages, until=args.until)
     print(f"run {args.run_id}: {len(snaps)} stages committed")

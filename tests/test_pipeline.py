@@ -112,3 +112,36 @@ def test_fast_path_pipeline_matches_default(spark, tmp_path, small_pages):
 
     for table in ("zscore_intervals", "seasonal_intervals"):
         assert sd.read(table).count() == sf.read(table).count(), table
+
+
+def test_gapfill_pipeline_stage(spark, tmp_path, small_pages):
+    """gapfill='locf' inserts the series_filled stage; its rollup equals
+    a manual gapfill_locf + rollup, and gap minutes are filled."""
+    from fischer_spark.operators.gapfill import gapfill_locf
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+
+    root = str(tmp_path / "g")
+    pipe = RollupPipeline(
+        spark, ParquetManifestStore(spark, root), "rg", gapfill="locf"
+    )
+    pipe.run(small_pages, until="rollup_1m")
+    assert "series_filled" in pipe.completed()
+
+    store = ParquetManifestStore(spark, root)
+    got = store.read("rollup_1m")
+
+    manual = gapfill_locf(build_series(small_pages), "1m")
+    manual = manual.filter(F.col("value_filled").isNotNull()).select(
+        "domain", "metric", "tag", "bucket_ts",
+        F.col("value_filled").alias("value"),
+    )
+    want = rollup_points(manual, "1m")
+
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(got.drop("_run_id"), want) if "_run_id" in got.columns else assert_df_equal(got, want)
+
+    # dense: filled 1m rollup has at least as many buckets as unfilled
+    unfilled = rollup_points(build_series(small_pages), "1m")
+    assert got.count() >= unfilled.count()

@@ -277,7 +277,11 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT doc_id, md5(mh2 || mh3) AS band FROM sig
   ),
-  b AS (SELECT DISTINCT doc_id, band FROM bands)
+  b0 AS (SELECT DISTINCT doc_id, band FROM bands),
+  b AS (
+    SELECT doc_id, band FROM b0
+    QUALIFY count(*) OVER (PARTITION BY band) <= 50
+  )
   SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
   FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
   GROUP BY 1, 2
@@ -285,11 +289,29 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: join INSIDE band buckets only — the shuffle key
-    is the band hash, never a cross join."""
+    is the band hash, never a cross join.  Buckets larger than 50 docs are
+    dropped (hot-bucket pruning): an oversized band is non-discriminative
+    (degenerate/boilerplate content) and is exactly where the per-bucket
+    O(b²) pair join explodes at scale — the same guard every production
+    LSH dedup uses.  The window count shuffles on `band`, which the pair
+    join reuses."""
     sig = minhash_signatures_documents(spark, sf_dir)
-    b1 = sig.select("doc_id", F.md5(F.concat("mh0", "mh1").cast("binary")).alias("band"))
-    b2 = sig.select("doc_id", F.md5(F.concat("mh2", "mh3").cast("binary")).alias("band"))
-    bands = b1.unionByName(b2).distinct()
+    # one scan: both band hashes projected together and exploded, instead
+    # of a self-union that tokenizes + md5s every document twice
+    from pyspark.sql import Window
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat("mh0", "mh1").cast("binary")),
+                F.md5(F.concat("mh2", "mh3").cast("binary")),
+            )
+        ).alias("band"),
+    ).distinct()
+    bands = bands.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
+    ).filter(F.col("_bn") <= 50).drop("_bn")
     a = bands.alias("a")
     c = bands.alias("c")
     return (

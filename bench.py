@@ -48,7 +48,15 @@ def main() -> None:
     from fischer_spark.session import get_spark
     from fischer_spark.sources.pages import synth_pages
 
-    spark = get_spark("fischer_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # Executor sizing: this host's guest memory-bandwidth share saturates
+    # at ~8-16 concurrent memory-heavy threads (attribution sweep in
+    # BENCH/BASELINE.md) — 32 threads measurably SLOWS scan/agg stages
+    # 15-25% vs 16.  Same call a real cluster makes by capping cores per
+    # executor; shuffle width stays at the full core count for AQE.
+    exec_threads = min(cpus, 16)
+    spark = get_spark(
+        "fischer_bench", master=f"local[{exec_threads}]", shuffle_partitions=cpus
+    )
 
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")  # full|pipeline
     queries = get_queries()

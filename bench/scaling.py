@@ -202,10 +202,10 @@ def measure_probes(levels: list[int], src: str, repeat: int = 2) -> dict[int, di
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--keys", type=int, default=8000)
+    ap.add_argument("--keys", type=int, default=16000)
     ap.add_argument("--points-per-key", type=int, default=10000)
-    ap.add_argument("--low", type=int, default=2)
-    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--low", type=int, default=1)
+    ap.add_argument("--high", type=int, default=4)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--probes", action="store_true", help="also run attribution probes")
     ap.add_argument("--no-update", action="store_true")

@@ -87,6 +87,21 @@ def main(argv: list[str] | None = None) -> int:
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
     )
     snaps = pipe.run(pages, until=args.until)
+    if args.encode_keys and "series" in snaps:
+        # hash-encoded series ids: verify injectivity on the (small) dim
+        # once per run — on a collision, rerun without --encode-keys (or
+        # assign dense ids); see encode_series_keys docstring for the math
+        from fischer_spark.operators.series import (
+            encode_series_keys,
+            verify_key_encoding,
+        )
+
+        _, dim = encode_series_keys(store.read("series", snaps["series"]))
+        if not verify_key_encoding(dim):
+            raise SystemExit(
+                f"run {args.run_id}: key_id hash collision detected in the "
+                "series dim — rerun without --encode-keys"
+            )
     print(f"run {args.run_id}: {len(snaps)} stages committed")
     for stage, snap in snaps.items():
         print(f"  {stage:20s} snapshot={snap} rows={store.read(stage, snap).count()}")

@@ -5,6 +5,7 @@ from fischer_spark.operators.series import (
     verify_key_encoding,
 )
 from fischer_spark.operators.rollup import (
+    refresh_tier,
     rollup_points,
     rollup_states,
     rollup_points_salted,
@@ -26,6 +27,7 @@ __all__ = [
     "encode_series_keys",
     "decode_series_keys",
     "verify_key_encoding",
+    "refresh_tier",
     "rollup_points",
     "rollup_states",
     "rollup_points_salted",

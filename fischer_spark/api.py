@@ -111,6 +111,7 @@ def query_range(
     domain: str | None = None,
     tag: str | None = None,
     stat: str = "mean",
+    key_dim=None,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -137,6 +138,18 @@ def query_range(
         (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), "1m"
     )
     states = store.read(f"rollup_{tier}")
+    if "key_id" in states.columns:
+        # fast-path tier tables carry dictionary-encoded keys; decode via
+        # the provided dim (or recompute it from the stored series — the
+        # encoding is a stateless hash)
+        from fischer_spark.operators.series import (
+            decode_series_keys,
+            encode_series_keys,
+        )
+
+        if key_dim is None:
+            _, key_dim = encode_series_keys(store.read("series"))
+        states = decode_series_keys(states, key_dim).drop("key_id")
     states = states.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
     )

@@ -89,3 +89,38 @@ def test_query_range_rebuckets_from_coarsest_dividing_tier(spark, tmp_path):
         .agg(F.avg("value").alias("value"))
     )
     assert_df_equal(got, want, tol=1e-9)
+
+
+def test_query_range_decodes_key_encoded_tiers(spark, tmp_path):
+    """query_range over a fast-path (key_id, fixed64) tier table equals
+    the string-keyed result."""
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series, encode_series_keys
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from pyspark.sql import functions as F
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 3000, seed=7).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    points = build_series(pages)
+    enc, dim = encode_series_keys(points)
+
+    plain = ParquetManifestStore(spark, str(tmp_path / "p"))
+    plain.append("rollup_1h", rollup_points(points, "1h"))
+    fast = ParquetManifestStore(spark, str(tmp_path / "f"))
+    fast.append("rollup_1h", rollup_points(enc, "1h", impl="fixed64"))
+
+    lo, hi = points.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    import datetime
+
+    start, end = str(lo.replace(minute=0, second=0, microsecond=0)), str(
+        hi + datetime.timedelta(hours=1)
+    )
+    a = query_range(plain, "crawl_rate", start, end, 3600, stat="mean")
+    b = query_range(fast, "crawl_rate", start, end, 3600, stat="mean", key_dim=dim)
+    assert_df_equal(a, b, tol=1e-6)

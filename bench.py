@@ -79,6 +79,12 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     if mode == "full":
+        # warm the session (JVM JIT, Arrow init, parquet footer cache) so
+        # the first timed query doesn't carry startup cost — makes
+        # per-query numbers comparable across rounds (VERDICT r1 #10)
+        t0 = time.perf_counter()
+        queries[headline[0]](spark, sf_dir).count()
+        warmup_s = round(time.perf_counter() - t0, 3)
         for name in headline:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
@@ -152,6 +158,8 @@ def main() -> None:
         "anomaly_intervals": n_ivals + n_ivals_s,
         "rolled_up_points_per_sec": rolled_pps,
     }
+    if mode == "full":
+        out["warmup_sec"] = warmup_s  # untimed JVM/Arrow warmup (not in value)
     print(json.dumps(out))
     spark.stop()
 

@@ -217,8 +217,12 @@ def main() -> None:
     eff_1m = round((r_low["t_1m"] / r_high["t_1m"]) / factor, 3)
     eff = round((r_high["pps_rollup"] / r_low["pps_rollup"]) / factor, 3)
     eff_total = round((r_high["pps_total"] / r_low["pps_total"]) / factor, 3)
+    # metric name states WHICH efficiency the headline value is (the
+    # raw→1m volume stage at low→high cores); the full-cascade and
+    # cascade+detect ratios ride alongside so cross-run comparisons are
+    # never reading an unlabeled, non-comparable number (ADVICE r1)
     result = {
-        "metric": "scaling_efficiency",
+        "metric": "scaling_efficiency_1m_stage",
         "value": eff_1m,
         "unit": "ratio",
         "low_cores": args.low,

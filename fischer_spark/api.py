@@ -135,20 +135,35 @@ def query_range(
     )
 
     tier = next(
-        (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), "1m"
+        (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), None
     )
+    if tier is None:
+        # A step no tier bucket divides (90s, 45s, …) cannot be served
+        # exactly from tier states: a 1m state straddling two step windows
+        # would be wholly mis-attributed to one of them. Error loudly
+        # instead of returning silently-wrong numbers.
+        raise ValueError(
+            f"step_s={step_s} is not a multiple of any materialized tier "
+            f"bucket ({sorted(_TIER_S.values())}); choose a step divisible "
+            "by 60, or query the raw series directly"
+        )
     states = store.read(f"rollup_{tier}")
     if "key_id" in states.columns:
         # fast-path tier tables carry dictionary-encoded keys; decode via
-        # the provided dim (or recompute it from the stored series — the
-        # encoding is a stateless hash)
-        from fischer_spark.operators.series import (
-            decode_series_keys,
-            encode_series_keys,
-        )
+        # the provided dim or the persisted `key_dim` table the pipeline
+        # writes. NEVER recompute the dim from the raw series here — a
+        # point-read surface must not scan the biggest table per query.
+        from fischer_spark.operators.series import decode_series_keys
 
         if key_dim is None:
-            _, key_dim = encode_series_keys(store.read("series"))
+            try:
+                key_dim = store.read("key_dim")
+            except ValueError as e:
+                raise ValueError(
+                    "tier table is key-encoded but no key_dim was passed and "
+                    "the store has no persisted 'key_dim' table (run the "
+                    "pipeline with encode_keys=True, or pass key_dim=)"
+                ) from e
         states = decode_series_keys(states, key_dim).drop("key_id")
     states = states.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))

@@ -12,6 +12,12 @@ from fischer_spark.operators.rollup import (
     with_derived_stats,
     tiered_rollups,
 )
+from fischer_spark.operators.dedup import (
+    minhash_candidates,
+    minhash_signatures,
+    simhash64,
+    simhash_candidates,
+)
 from fischer_spark.operators.gapfill import bucket_spine, gapfill_locf, gapfill_linear
 from fischer_spark.operators.detect import (
     zscore_window,
@@ -33,6 +39,10 @@ __all__ = [
     "rollup_points_salted",
     "with_derived_stats",
     "tiered_rollups",
+    "minhash_signatures",
+    "minhash_candidates",
+    "simhash64",
+    "simhash_candidates",
     "bucket_spine",
     "gapfill_locf",
     "gapfill_linear",

@@ -100,6 +100,121 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id", sim_col: str = "si
 
 
 # --------------------------------------------------------------------------
+# parameterized production MinHash (the (n_hashes, n_bands) knobs the
+# fixed 4-hash/2-band oracle form in queries_webtext lacks)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    seed: int = 42,
+    out_col: str = "sig",
+) -> DataFrame:
+    """n-hash MinHash signature per doc, one Arrow pass, vectorized:
+    token-set → 64-bit token hashes → per-doc min over the multiply-add
+    family h_i(x) = a_i·x + b_i (odd a_i, uint64 wraparound — the
+    standard multiply-shift approximation of a universal family; the
+    (a, b) draws depend only on (n_hashes, seed) so every executor and
+    every run derives identical signatures). The n_tokens × n_hashes
+    product runs as one numpy op per doc — no Python loop per token."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, 1 << 62, n_hashes, dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, 1 << 62, n_hashes, dtype=np.uint64)
+        out = []
+        for t in text:
+            toks = set((t or "").lower().split())
+            if not toks:
+                out.append(np.zeros(n_hashes, dtype=np.int64))
+                continue
+            th = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            with np.errstate(over="ignore"):
+                m = (th[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return df.select(id_col, _sig(F.col(text_col)).alias(out_col))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 8,
+    max_bucket_docs: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Parameterized LSH band candidates: signature → ``n_bands`` bands of
+    width ``n_hashes / n_bands`` → bucket join inside (band_idx, band)
+    only, with the same hot-bucket prune as the oracle form
+    (queries_webtext.LSH_MAX_BUCKET_DOCS by default) — never all-pairs.
+
+    Tuning is the textbook s-curve: a pair with Jaccard s is a candidate
+    with prob 1 − (1 − s^band_width)^n_bands; more bands → higher recall
+    and more candidates, wider bands → sharper threshold.
+
+    Returns (id_a, id_b, n_shared_bands).
+    """
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
+    if max_bucket_docs is None:
+        from fischer_spark.queries_webtext import LSH_MAX_BUCKET_DOCS
+
+        max_bucket_docs = LSH_MAX_BUCKET_DOCS
+    from pyspark.sql import Window
+
+    band_w = n_hashes // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, seed)
+    # one scan: all band keys projected together and exploded (band key =
+    # xxhash64 of the band's slice of the signature array)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(F.lit(i), F.slice("sig", i * band_w + 1, band_w)).alias(
+                    "band"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = (
+        sig.select(id_col, F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band_idx", "bb.band")
+        .withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band"))
+        )
+        .filter(F.col("_bn") <= max_bucket_docs)
+        .drop("_bn")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
 # random-hyperplane LSH for embedding ANN
 # --------------------------------------------------------------------------
 
@@ -118,14 +233,22 @@ def lsh_cosine_buckets(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Sign-of-projection bucket id per vector (one Arrow pass, matrix
-    multiply per batch — no per-row Python)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
+    multiply per batch — no per-row Python).
+
+    When ``dim`` is None it is inferred from the first Arrow batch INSIDE
+    the executor UDF — never via a driver-side action during plan
+    construction (an `.first()` here would silently execute the upstream
+    plan every time an ANN plan is built).  The plane matrix depends only
+    on (dim, n_planes, seed), so every executor derives the identical
+    planes; regenerating it per batch is a trivial (dim × n_planes)
+    standard-normal draw."""
 
     @F.pandas_udf(T.LongType())
     def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         m = np.vstack(vecs.to_numpy())
+        planes = _planes(dim if dim is not None else m.shape[1], n_planes, seed)
         signs = (m @ planes) > 0
         return pd.Series(
             (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)

@@ -58,6 +58,21 @@ _SCALE = 1_000_000
 _B = 1 << 20
 
 
+def _require_ansi_for_fixed64() -> None:
+    """fixed64's overflow-bound argument assumes ANSI mode (loud errors,
+    never silent long wraparound). get_spark pins it on, but a foreign
+    session (legacy cluster conf) may have it off — fail fast here rather
+    than corrupt aggregates silently."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and spark.conf.get("spark.sql.ansi.enabled", "true") != "true":
+        raise ValueError(
+            "impl='fixed64' requires spark.sql.ansi.enabled=true (overflow "
+            "must error, not wrap); set the conf or use impl='decimal'"
+        )
+
+
 def _fixed64_cols():
     v = F.col("value")
     vs = F.round(v * F.lit(_SCALE)).cast("long")
@@ -68,6 +83,7 @@ def _fixed64_cols():
 
 def _point_aggs(impl: str = "decimal") -> list:
     if impl == "fixed64":
+        _require_ansi_for_fixed64()
         v, vs, a, b = _fixed64_cols()
         return [
             F.count(v).alias("cnt"),
@@ -220,10 +236,12 @@ def refresh_tier(
     impl: str = "decimal",
 ) -> str | None:
     """Incremental continuous-aggregate refresh: roll up ONLY the tier
-    buckets touched by ``new_points`` and overwrite exactly that bucket
-    range in ``table``. Untouched buckets are never rewritten; the
-    range overwrite is the idempotent exactly-once unit (storage.py
-    ``overwrite_range``).
+    buckets touched by ``new_points`` and overwrite exactly those buckets
+    in ``table``. Untouched buckets are never rewritten — the touched
+    buckets are grouped into contiguous runs and each run gets one
+    idempotent ``overwrite_range`` commit, so a sparse delta (one late
+    point + one current point) rewrites two buckets, not the span
+    between them (O(touched), not O(span)).
 
     The delta is MERGED onto existing states by exact state addition
     (``rollup_states`` over the union — associative in both impls), so
@@ -232,24 +250,44 @@ def refresh_tier(
     with at-least-once input, re-rollup the affected range from the raw
     series store instead of merging.
 
-    Returns the committed snapshot id, or None for an empty delta.
+    The distinct touched-bucket set is collected to the driver to plan
+    the runs — bounded by delta-span/tier (a day of late 1m data is
+    1 440 values), never by delta row count or history size.
+
+    Returns the last committed snapshot id, or None for an empty delta.
     """
-    tier_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
-    delta = rollup_points(new_points, tier, impl).persist()
-    bounds = delta.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
-    if bounds[0] is None:
-        delta.unpersist()
-        return None
-    lo, hi = bounds
     import datetime
 
-    hi_excl = hi + datetime.timedelta(seconds=tier_s)
-    existing = store.read(table).filter(
-        (F.col("bucket_ts") >= F.lit(lo)) & (F.col("bucket_ts") < F.lit(hi_excl))
+    tier_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    delta = rollup_points(new_points, tier, impl).persist()
+    touched = sorted(
+        r[0] for r in delta.select("bucket_ts").distinct().collect()
     )
-    merged = rollup_states(existing.unionByName(delta), tier)
-    snap = store.overwrite_range(
-        table, merged, "bucket_ts", str(lo), str(hi_excl)
+    if not touched:
+        delta.unpersist()
+        return None
+    # contiguous runs of tier buckets: [lo, hi_excl) half-open each
+    step = datetime.timedelta(seconds=tier_s)
+    runs: list[tuple] = []
+    lo = prev = touched[0]
+    for b in touched[1:]:
+        if b - prev != step:
+            runs.append((lo, prev + step))
+            lo = b
+        prev = b
+    runs.append((lo, prev + step))
+
+    existing = store.read(table).join(
+        F.broadcast(delta.select("bucket_ts").distinct()), "bucket_ts", "left_semi"
     )
+    merged = rollup_states(existing.unionByName(delta), tier).persist()
+    merged.count()
+    snap = None
+    for run_lo, run_hi in runs:
+        part = merged.filter(
+            (F.col("bucket_ts") >= F.lit(run_lo)) & (F.col("bucket_ts") < F.lit(run_hi))
+        )
+        snap = store.overwrite_range(table, part, "bucket_ts", str(run_lo), str(run_hi))
+    merged.unpersist()
     delta.unpersist()
     return snap

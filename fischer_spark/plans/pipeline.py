@@ -107,6 +107,7 @@ class RollupPipeline:
         the crash-injection hook for resume tests."""
         order = [
             "series",
+            *(["key_dim"] if self.encode_keys else []),
             *(["series_filled"] if self.gapfill else []),
             "rollup_1m",
             "rollup_1h",
@@ -117,6 +118,13 @@ class RollupPipeline:
         ]
         builders = {
             "series": lambda: build_series(pages),
+            # the dim is computed ONCE here (a distinct over the stored
+            # series parquet — never over the un-materialized build) and
+            # persisted; every later consumer (detectors, query_range)
+            # reads it back instead of re-scanning the series table
+            "key_dim": lambda: encode_series_keys(
+                self.store.read("series", self.completed().get("series"))
+            )[1],
             "series_filled": lambda: self._gapfilled_series(),
             "rollup_1m": lambda: (
                 rollup_points_salted(self._series_points(), "1m", self.salt_k, self.impl)
@@ -174,8 +182,8 @@ class RollupPipeline:
         """The stored series (gap-filled stage when configured),
         key-encoded for the rollup hot path when configured (one long
         key instead of three strings through the full-volume shuffle;
-        encoding is a stateless hash, so the dim is recomputable from
-        the stored series — no extra stage)."""
+        encoding is a stateless hash so this costs no shuffle — the dim
+        used to decode on the read side is the persisted key_dim stage)."""
         table = "series_filled" if self.gapfill else "series"
         src = self.store.read(table, self.completed().get(table))
         if self.encode_keys:
@@ -185,8 +193,7 @@ class RollupPipeline:
     def _hourly_means(self) -> DataFrame:
         states = self.store.read("rollup_1h", self.completed().get("rollup_1h"))
         if self.encode_keys:
-            series = self.store.read("series", self.completed().get("series"))
-            _, dim = encode_series_keys(series)
+            dim = self.store.read("key_dim", self.completed().get("key_dim"))
             states = decode_series_keys(states, dim)
         return with_derived_stats(states).select(
             "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")

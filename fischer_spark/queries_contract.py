@@ -230,7 +230,7 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   SELECT coalesce(source, '<all>') AS source_g,
          coalesce(lang, '<all>') AS lang_g,
-         count(*) AS n_docs, sum(n_chars) AS total_chars
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
   FROM documents GROUP BY ROLLUP (source, lang)
 """,
 )

@@ -26,7 +26,7 @@ _TOK_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     """
   SELECT event_type,
          count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
   FROM events GROUP BY 1
@@ -51,7 +51,7 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
   WITH e AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS new_session
@@ -60,8 +60,9 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
   ),
   s AS (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)
              AS session_id
     FROM e
   )
@@ -79,7 +80,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
     )
-    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Total order: (ts, event_id) — ts alone is not a total order (duplicate
+    # (user_id, ts) rows would make session_id partition-order-dependent).
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     s = e.withColumn("session_id", F.sum("new_session").over(wc))

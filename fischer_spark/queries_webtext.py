@@ -155,6 +155,15 @@ _LANG_STOPS = {
     "de": "('der','die','das','und','ist','nicht','ein','zu')",
 }
 
+# CJK char-class ranges (literal chars, valid in both Java regex and RE2):
+# whitespace tokenization cannot segment zh/ja at all, so script counting
+# runs BEFORE any token-level vote. kana is uniquely Japanese; hangul
+# uniquely Korean; han without kana → Chinese (ja text virtually always
+# carries kana). Public-knowledge heuristic (standard langid shortcut).
+_HAN = "一-鿿"
+_KANA = "぀-ヿ"
+_HANGUL = "가-힣"
+
 
 def _langid_scores_sql(tok_expr: str, filt: str) -> str:
     cols = ",\n         ".join(
@@ -164,46 +173,56 @@ def _langid_scores_sql(tok_expr: str, filt: str) -> str:
     return cols
 
 
+# identical CASE in both engines: script classes first, then latin vote
+_LANGID_PRED_SQL = """CASE
+           WHEN n_kana > 0 THEN 'ja'
+           WHEN n_hangul > 0 THEN 'ko'
+           WHEN n_han > 0 THEN 'zh'
+           WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+           WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+           WHEN score_es >= score_de THEN 'es'
+           ELSE 'de' END"""
+
+
 @register(
     "lang_id_documents",
     f"""
   WITH s AS (
-    SELECT doc_id, lang AS lang_actual, {_TOK_DUCK} AS toks
+    SELECT doc_id, lang AS lang_actual, {_TOK_DUCK} AS toks,
+           length(regexp_replace(text, '[^{_HAN}]', '', 'g')) AS n_han,
+           length(regexp_replace(text, '[^{_KANA}]', '', 'g')) AS n_kana,
+           length(regexp_replace(text, '[^{_HANGUL}]', '', 'g')) AS n_hangul
     FROM documents WHERE trim(text) <> ''
   ),
   sc AS (
-    SELECT doc_id, lang_actual,
+    SELECT doc_id, lang_actual, n_han, n_kana, n_hangul,
          {_langid_scores_sql('toks', 'list_filter')}
     FROM s
   )
-  SELECT doc_id, lang_actual, score_en, score_fr, score_es, score_de,
-         CASE
-           WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
-           WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
-           WHEN score_es >= score_de THEN 'es'
-           ELSE 'de' END AS lang_pred
+  SELECT doc_id, lang_actual, n_han, n_kana, n_hangul,
+         score_en, score_fr, score_es, score_de,
+         {_LANGID_PRED_SQL} AS lang_pred
   FROM sc
 """,
 )
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     s = d.select(
-        "doc_id", F.col("lang").alias("lang_actual"), F.expr(_TOK_SPARK).alias("toks")
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        F.expr(_TOK_SPARK).alias("toks"),
+        F.length(F.regexp_replace("text", f"[^{_HAN}]", "")).alias("n_han"),
+        F.length(F.regexp_replace("text", f"[^{_KANA}]", "")).alias("n_kana"),
+        F.length(F.regexp_replace("text", f"[^{_HANGUL}]", "")).alias("n_hangul"),
     )
     for lang, stops in _LANG_STOPS.items():
         s = s.withColumn(
             f"score_{lang}", F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
         )
-    en, fr, es, de = (F.col(f"score_{x}") for x in ("en", "fr", "es", "de"))
-    pred = (
-        F.when((en >= fr) & (en >= es) & (en >= de), "en")
-        .when((fr >= es) & (fr >= de), "fr")
-        .when(es >= de, "es")
-        .otherwise("de")
-    )
     return s.select(
-        "doc_id", "lang_actual", "score_en", "score_fr", "score_es", "score_de",
-        pred.alias("lang_pred"),
+        "doc_id", "lang_actual", "n_han", "n_kana", "n_hangul",
+        "score_en", "score_fr", "score_es", "score_de",
+        F.expr(_LANGID_PRED_SQL).alias("lang_pred"),
     )
 
 
@@ -235,6 +254,15 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _N_HASHES = 4
+
+# Hot-bucket prune threshold, shared verbatim by the Spark impl and the
+# DuckDB oracle (below) AND by the production parameterized MinHash
+# (operators/dedup.minhash_candidates): bands shared by more than this many
+# docs are non-discriminative (boilerplate) and are exactly where the
+# per-bucket O(b²) pair join explodes. NOTE this intentionally changes
+# candidate recall vs an unpruned LSH — documented in BENCH/BASELINE.md
+# (measured: 7.6M degenerate pairs → 9.9k on the sf0.1 corpus).
+LSH_MAX_BUCKET_DOCS = 50
 
 
 def _minhash_sql_cols(tok: str) -> str:
@@ -280,7 +308,7 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
   b0 AS (SELECT DISTINCT doc_id, band FROM bands),
   b AS (
     SELECT doc_id, band FROM b0
-    QUALIFY count(*) OVER (PARTITION BY band) <= 50
+    QUALIFY count(*) OVER (PARTITION BY band) <= {LSH_MAX_BUCKET_DOCS}
   )
   SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
   FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
@@ -289,8 +317,9 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: join INSIDE band buckets only — the shuffle key
-    is the band hash, never a cross join.  Buckets larger than 50 docs are
-    dropped (hot-bucket pruning): an oversized band is non-discriminative
+    is the band hash, never a cross join.  Buckets larger than
+    LSH_MAX_BUCKET_DOCS docs are dropped (hot-bucket pruning): an
+    oversized band is non-discriminative
     (degenerate/boilerplate content) and is exactly where the per-bucket
     O(b²) pair join explodes at scale — the same guard every production
     LSH dedup uses.  The window count shuffles on `band`, which the pair
@@ -311,7 +340,7 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     bands = bands.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
-    ).filter(F.col("_bn") <= 50).drop("_bn")
+    ).filter(F.col("_bn") <= LSH_MAX_BUCKET_DOCS).drop("_bn")
     a = bands.alias("a")
     c = bands.alias("c")
     return (
@@ -446,6 +475,45 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+# --------------------------------------------------------------------------
+# production scale-path forms (rows-only by design: xxhash64/numpy hash
+# families and LSH bucketing are not DuckDB-expressible; quality is gated
+# by pytest — recall-vs-exact-Jaccard, Hamming pigeonhole, ANN recall-vs-
+# brute-force in tests/test_dedup_similarity.py and test_round2_fixes.py)
+# --------------------------------------------------------------------------
+
+@register("minhash_prod_candidates_documents")
+def minhash_prod_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized production MinHash (64 hashes × 16 bands) with the
+    shared hot-bucket prune — the 100 TB dedup path (operators/dedup.py)."""
+    from fischer_spark.operators.dedup import minhash_candidates
+
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return minhash_candidates(d, n_hashes=64, n_bands=16)
+
+
+@register("simhash64_candidates_documents")
+def simhash64_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit simhash + Hamming≤3 band candidates
+    (pigeonhole over 4×16-bit bands, bucket join — never all-pairs)."""
+    from fischer_spark.operators.dedup import simhash64, simhash_candidates
+
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sh = simhash64(d.select("doc_id", "text"))
+    return simhash_candidates(sh).filter(F.col("hamming") <= 3)
+
+
+@register("ann_topk_lsh_embeddings")
+def ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN top-k (the scale path whose oracle
+    is the brute-force cosine_topk_embeddings query)."""
+    from fischer_spark.operators.dedup import ann_topk_lsh
+
+    emb = scan_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ann_topk_lsh(emb, probes, k=10, n_planes=4, n_tables=16)
 
 
 @register("cosine_topk_embeddings", _COSINE_TOPK_SQL)

@@ -8,6 +8,10 @@ Every knob here is a scale decision (SURVEY.md §4.2):
   naive (timezone-less) parquet timestamps.
 - shuffle.partitions sized to local cores; on a real cluster this is
   superseded by AQE's coalescing against `advisoryPartitionSizeInBytes`.
+- ANSI mode pinned ON: the fixed64 rollup state impl (operators/rollup.py)
+  relies on ANSI overflow errors instead of silent long wraparound. Spark 4
+  defaults ANSI on, but legacy cluster confs commonly disable it — pinning
+  here makes fixed64 safe on any deployment.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -153,6 +153,17 @@ class ParquetManifestStore:
 
     # -- compaction --------------------------------------------------------
 
+    def maybe_compact(self, table: str, max_snapshots: int = 16) -> str | None:
+        """Compaction policy hook: fold the chain when it exceeds
+        ``max_snapshots`` commits.  The folded read plan is O(#snapshots)
+        union/filter nodes — fine for per-stage checkpoints, but a
+        long-lived tier table receiving incremental refreshes needs this
+        called on a policy, not manually (VERDICT r1).  Returns the new
+        snapshot id when compaction ran, else None."""
+        if len(self._manifest(table)["snapshots"]) <= max_snapshots:
+            return None
+        return self.compact(table)
+
     def compact(self, table: str) -> str:
         """Rewrite the folded view as a single fresh append chain (the
         manifest analogue of Iceberg rewrite_data_files + expire_snapshots)."""

@@ -59,6 +59,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         return errs
     a, b = _normalize(ps), _normalize(po)
     for c in a.columns:
+        # dtype-kind parity: the driver hashes values including their
+        # representation, so DuckDB returning HUGEINT/float where Spark emits
+        # int64 fails its gate even when values are equal. Catch that class
+        # here (kind: i=int, f=float, O=object, M=datetime, b=bool).
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            errs.append(
+                f"{name}.{c}: dtype kind mismatch spark={a[c].dtype} oracle={b[c].dtype} "
+                f"(CAST the oracle expression so representations agree)"
+            )
         ca, cb = a[c], b[c]
         if pd.api.types.is_float_dtype(ca) or pd.api.types.is_float_dtype(cb):
             ca = pd.to_numeric(ca, errors="coerce").astype(float)

@@ -83,3 +83,49 @@ def test_streaming_zscore_state(spark, tmp_path):
     assert len(got) == 30
     assert got[20] is not None and got[20] > 3  # planted spike scored
     assert got[0] is None  # cold state unscored
+
+
+@pytest.mark.parametrize("tier", ["1h", "1d"])
+def test_streaming_coarse_tiers_match_batch(spark, pages_batch, tmp_path, tier):
+    """1h/1d streaming tiers carry the same exact states as the batch
+    rollup at that tier (the lambda-architecture seam, per tier)."""
+    from fischer_spark.streaming.rollup_stream import streaming_rollup_tier
+
+    src_dir = str(tmp_path / f"src_{tier}")
+    pages_batch.write.parquet(src_dir)
+    stream = spark.readStream.schema(pages_batch.schema).parquet(src_dir)
+    out = streaming_rollup_tier(stream, tier, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"t_stream_{tier}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM t_stream_{tier}")
+
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import page_size_series
+
+    want = rollup_points(page_size_series(pages_batch), tier)
+    finalized = got.count()
+    assert finalized > 0
+    j = got.join(
+        want.select(
+            "domain", "bucket_ts",
+            F.col("cnt").alias("w_cnt"), F.col("sum").alias("w_sum"),
+            F.col("sum_sq").alias("w_sq"),
+        ),
+        ["domain", "bucket_ts"],
+        "inner",
+    )
+    assert j.count() == finalized
+    assert (
+        j.filter(
+            (F.col("cnt") != F.col("w_cnt"))
+            | (F.col("sum") != F.col("w_sum"))
+            | (F.col("sum_sq") != F.col("w_sq"))
+        ).count()
+        == 0
+    )

@@ -13,6 +13,7 @@ from fischer_spark.operators.rollup import (
     tiered_rollups,
 )
 from fischer_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     minhash_candidates,
     minhash_signatures,
     simhash64,
@@ -39,6 +40,7 @@ __all__ = [
     "rollup_points_salted",
     "with_derived_stats",
     "tiered_rollups",
+    "embedding_near_dup_pairs",
     "minhash_signatures",
     "minhash_candidates",
     "simhash64",

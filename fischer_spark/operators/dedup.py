@@ -257,6 +257,76 @@ def lsh_cosine_buckets(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus scale: the block key is
+    an LSH bucket (multi-table OR-construction), not a label — the scale
+    path the label-blocked oracle form (queries_webtext.embedding_near_dups)
+    documents. Exact cosine runs only on deduplicated same-bucket pairs.
+
+    Recall for a pair at cosine s: 1 − (1 − p^n_planes)^n_tables with
+    p = 1 − acos(s)/π; the defaults give ≈0.99 at s=0.9 and ≈0.87 at
+    s=0.8. ``max_bucket`` is the hot-bucket guard (same role as
+    LSH_MAX_BUCKET_DOCS for MinHash): a bucket that large means the
+    planes don't discriminate there, and the O(b²) pair join would blow
+    up — raise n_planes instead of raising the cap.
+
+    Returns (id_a, id_b, cos_sim) with cos_sim ≥ threshold.
+    """
+    from pyspark.sql import Window
+
+    cb = None
+    for t in range(n_tables):
+        c_t = lsh_cosine_buckets(
+            corpus.select(id_col, vec_col), vec_col, n_planes=n_planes,
+            seed=seed + 1000 * t,
+        ).withColumn("table", F.lit(t))
+        cb = c_t if cb is None else cb.unionByName(c_t)
+    cb = cb.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
+    ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a = cb.alias("a")
+    b = cb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * cast(q as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    sim = (
+        F.expr(dot.format(x="va", y="vb"))
+        / (
+            F.sqrt(F.expr(dot.format(x="va", y="va")))
+            * F.sqrt(F.expr(dot.format(x="vb", y="vb")))
+        )
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

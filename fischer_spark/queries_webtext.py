@@ -505,6 +505,17 @@ def simhash64_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return simhash_candidates(sh).filter(F.col("hamming") <= 3)
 
 
+@register("embedding_near_dups_lsh")
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked embedding near-dups — the scale path whose
+    label-blocked oracle is embedding_near_dups (threshold relaxed to the
+    oracle's 0.2 so the candidate surfaces overlap at sf scale)."""
+    from fischer_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = scan_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_pairs(emb, threshold=0.2, n_planes=4, n_tables=8)
+
+
 @register("ann_topk_lsh_embeddings")
 def ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN top-k (the scale path whose oracle

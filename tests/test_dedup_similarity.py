@@ -96,3 +96,44 @@ def test_multimodal_features(spark):
     again = {r.media_id: r.sha for r in extract_media_features(media.repartition(11)).collect()}
     first = {r.media_id: r.sha for r in rows}
     assert first == again
+
+
+def test_embedding_near_dup_pairs_lsh_recall(spark):
+    """LSH-bucket-blocked near-dup pairs find planted high-cosine pairs
+    (recall per the OR-construction bound) and never emit a pair below
+    threshold; candidate surface is far from all-pairs."""
+    import numpy as np
+
+    from fischer_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    dim = 32
+    base = rng.standard_normal((50, dim))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(50)]
+    # planted near-dups: tiny perturbations of the first 10 vectors
+    planted = set()
+    for i in range(10):
+        v = base[i] + 0.05 * rng.standard_normal(dim)
+        rows.append((100 + i, v.astype(float).tolist()))
+        planted.add((i, 100 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = embedding_near_dup_pairs(
+        df, threshold=0.9, n_planes=4, n_tables=8, seed=5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert all(r.cos_sim >= 0.9 for r in got)
+    # exact truth by brute force
+    vecs = {i: np.array(v) for i, v in rows}
+    truth = set()
+    ids = sorted(vecs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            if va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9:
+                truth.add((a, b))
+    assert planted <= truth
+    recall = len(pairs & truth) / len(truth)
+    # OR-construction bound at cos≈0.995 (the planted pairs): ≈1-1e-5
+    assert recall >= 0.9, (recall, sorted(truth - pairs))
+    assert not (pairs - truth)  # exact verify step: no false positives

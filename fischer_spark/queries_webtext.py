@@ -248,6 +248,103 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination: 8-token shingle overlap vs an eval set
+# (the training-data-pipeline op: find corpus docs sharing n-gram windows
+# with held-out benchmark docs). Eval set = doc_id % 97 == 0 (deterministic
+# stand-in for a real benchmark list). Scale shape: eval shingles are the
+# SMALL side — distinct'd and broadcast; the corpus is scanned once and
+# its shingles stream through the broadcast hash join, never shuffled.
+# --------------------------------------------------------------------------
+
+_SHINGLE_N = 8
+_EVAL_MOD = 97
+
+
+@register(
+    "contamination_check_documents",
+    f"""
+  WITH s AS (
+    SELECT doc_id, {_TOK_DUCK} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  w AS (SELECT doc_id, toks FROM s WHERE len(toks) >= {_SHINGLE_N}),
+  sh AS (
+    SELECT doc_id, md5(array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ')) AS sh
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_SHINGLE_N} + 2)) AS i FROM w)
+  ),
+  eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+  SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared_shingles
+  FROM sh c JOIN eval_sh e USING (sh)
+  WHERE c.doc_id % {_EVAL_MOD} <> 0
+  GROUP BY 1
+""",
+)
+def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    s = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")).filter(
+        F.size("toks") >= _SHINGLE_N
+    )
+    shingle = (
+        f"transform(sequence(1, size(toks) - {_SHINGLE_N} + 1), "
+        f"i -> md5(cast(array_join(slice(toks, i, {_SHINGLE_N}), ' ') as binary)))"
+    )
+    sh = s.select("doc_id", F.explode(F.expr(shingle)).alias("sh"))
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("sh").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style within-doc quality): duplicate-token
+# ratio and top-token fraction — ratios of exact integers, hash-safe.
+# --------------------------------------------------------------------------
+
+@register(
+    "repetition_signals_documents",
+    f"""
+  WITH s AS (
+    SELECT doc_id, {_TOK_DUCK} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  c AS (
+    SELECT doc_id, tok, count(*) AS n
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM s)
+    GROUP BY 1, 2
+  )
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(max(n) AS BIGINT) AS max_token_count,
+         1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_token_ratio,
+         CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_token_frac
+  FROM c GROUP BY 1
+""",
+)
+def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    c = (
+        d.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("max_token_count"),
+        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+            "dup_token_ratio"
+        ),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("top_token_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # minhash signatures + LSH band candidates (O-dedup-2)
 # md5-string minhash: min over token md5s is a valid hash family and is
 # byte-identical across engines.
@@ -503,6 +600,17 @@ def simhash64_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
     d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     sh = simhash64(d.select("doc_id", "text"))
     return simhash_candidates(sh).filter(F.col("hamming") <= 3)
+
+
+@register("media_features_synth")
+def media_features_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing driven end-to-end: synth opaque media rows →
+    mapInPandas feature extraction (decode kernel stubbed — no image libs
+    in this container; deterministic fake keeps schema/batch shape real).
+    Ignores sf_dir (media is synthesized, not a testdata table)."""
+    from fischer_spark.operators.multimodal import extract_media_features, synth_media
+
+    return extract_media_features(synth_media(spark, 500))
 
 
 @register("embedding_near_dups_lsh")

@@ -308,3 +308,31 @@ def test_fixed64_requires_ansi(spark):
         spark.conf.set("spark.sql.ansi.enabled", "true")
     # and it works again with ANSI restored
     assert rollup_points(pts, "1m", impl="fixed64").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: planted overlap is found, clean docs are not
+# ---------------------------------------------------------------------------
+
+def test_contamination_check_planted(spark, tmp_path):
+    from fischer_spark.queries_webtext import contamination_check_documents
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        # doc_id 0 ≡ 0 mod 97 → the eval/benchmark doc
+        (0, bench_text, "en", "s", 0),
+        # contaminated: contains the benchmark's 8-token windows verbatim
+        (1, "intro words " + bench_text + " trailing words", "en", "s", 0),
+        # clean: same vocabulary, different order (no shared 8-gram)
+        (2, "kappa iota theta eta zeta epsilon delta gamma beta alpha", "en", "s", 0),
+        # too short for any 8-gram
+        (3, "alpha beta gamma", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r["n_shared_shingles"] for r in
+           contamination_check_documents(spark, str(tmp_path)).collect()}
+    # benchmark text has 10 tokens → 3 shingles of 8; doc 1 contains all 3
+    assert got == {1: 3}

@@ -194,3 +194,40 @@ def query_range(
     return derived.select(
         "domain", "metric", "tag", "bucket_ts", val.alias("value")
     ).orderBy("domain", "tag", "bucket_ts")
+
+
+def query_raw(
+    store,
+    metric: str | None,
+    start: str,
+    end: str,
+    domain: str | None = None,
+    tag: str | None = None,
+):
+    """Raw-sample range read over the compressed chunk store: zone-map
+    pruning on the tiny chunk-stat columns selects the chunks that can
+    overlap [start, end) BEFORE any decode cost is paid, then only those
+    blobs are Gorilla-decoded and the exact time filter is applied to
+    the exploded points.
+
+    This is the TSDB read path for sub-tier granularity (a tier answers
+    any step its bucket divides; raw samples inside a window come from
+    chunks). Per-query cost is O(chunks overlapping the window), never
+    O(table): the t_start/t_end predicates reach the parquet scan of the
+    chunk table (stats are plain columns, so Catalyst pushes them), and
+    the decode mapInPandas sees only surviving chunk rows.
+    """
+    from fischer_spark.operators.chunks import decode_chunks, prune_chunks
+
+    chunks = store.read("chunks")
+    if metric is not None:
+        chunks = chunks.filter(F.col("metric") == metric)
+    if domain is not None:
+        chunks = chunks.filter(F.col("domain") == domain)
+    if tag is not None:
+        chunks = chunks.filter(F.col("tag") == tag)
+    pruned = prune_chunks(chunks, t_from=start, t_to=end)
+    pts = decode_chunks(pruned)
+    return pts.filter(
+        (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
+    ).orderBy("domain", "tag", "bucket_ts")

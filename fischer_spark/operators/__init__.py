@@ -5,6 +5,7 @@ from fischer_spark.operators.series import (
     verify_key_encoding,
 )
 from fischer_spark.operators.rollup import (
+    refresh_cascade,
     refresh_tier,
     rollup_points,
     rollup_states,
@@ -35,6 +36,7 @@ __all__ = [
     "decode_series_keys",
     "verify_key_encoding",
     "refresh_tier",
+    "refresh_cascade",
     "rollup_points",
     "rollup_states",
     "rollup_points_salted",

@@ -234,6 +234,7 @@ def refresh_tier(
     tier: str,
     new_points: DataFrame,
     impl: str = "decimal",
+    max_runs: int = 64,
 ) -> str | None:
     """Incremental continuous-aggregate refresh: roll up ONLY the tier
     buckets touched by ``new_points`` and overwrite exactly those buckets
@@ -242,6 +243,15 @@ def refresh_tier(
     idempotent ``overwrite_range`` commit, so a sparse delta (one late
     point + one current point) rewrites two buckets, not the span
     between them (O(touched), not O(span)).
+
+    ``max_runs`` bounds the commit count: a delta SCATTERED across the
+    timeline (a backfill, not a late-window trickle) can fragment into
+    thousands of runs, and one Spark write job per run is far worse than
+    one span rewrite (measured: a full-range 1m refresh degenerated to
+    ~10³ tiny commits). Past the cap the refresh falls back to a single
+    span overwrite [min, max) whose merge carries the untouched
+    in-between buckets through unchanged — O(span) rows but O(1)
+    commits, the right trade exactly when touched ≈ span.
 
     The delta is MERGED onto existing states by exact state addition
     (``rollup_states`` over the union — associative in both impls), so
@@ -277,6 +287,21 @@ def refresh_tier(
         prev = b
     runs.append((lo, prev + step))
 
+    if len(runs) > max_runs:
+        # scattered backfill: one span commit; untouched buckets inside
+        # the span ride through the merge unchanged (state addition with
+        # an empty delta is the identity)
+        span_lo, span_hi = touched[0], touched[-1] + step
+        existing = store.read(table).filter(
+            (F.col("bucket_ts") >= F.lit(span_lo)) & (F.col("bucket_ts") < F.lit(span_hi))
+        )
+        merged = rollup_states(existing.unionByName(delta), tier)
+        snap = store.overwrite_range(
+            table, merged, "bucket_ts", str(span_lo), str(span_hi)
+        )
+        delta.unpersist()
+        return snap
+
     existing = store.read(table).join(
         F.broadcast(delta.select("bucket_ts").distinct()), "bucket_ts", "left_semi"
     )
@@ -291,3 +316,25 @@ def refresh_tier(
     merged.unpersist()
     delta.unpersist()
     return snap
+
+
+def refresh_cascade(
+    store,
+    new_points: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    impl: str = "decimal",
+    table_prefix: str = "rollup_",
+) -> dict[str, str | None]:
+    """Late-data refresh across ALL materialized tiers: each tier merges
+    the same delta by exact state addition over its own touched buckets
+    (associativity makes per-tier merges equal a full recompute — the
+    continuous-aggregate invalidation story). Cost is O(tiers × delta),
+    never O(history). Returns {tier: snapshot_id-or-None}."""
+    new_points = new_points.persist()
+    try:
+        return {
+            t: refresh_tier(store, f"{table_prefix}{t}", t, new_points, impl)
+            for t in tiers
+        }
+    finally:
+        new_points.unpersist()

@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=["locf", "linear"],
         help="gap-fill the 1m series spine before rollup (north-star ordering)",
     )
+    ap.add_argument(
+        "--refresh",
+        action="store_true",
+        help="incremental mode: treat the input as LATE/NEW pages only and "
+        "merge them into the existing tier tables by exact state addition "
+        "(refresh_cascade — O(tiers x delta), touched buckets only) instead "
+        "of running the full pipeline",
+    )
     ap.add_argument("--until", default=None, help="stop after this stage (debug/crash-test)")
     ap.add_argument(
         "--retain-as-of",
@@ -91,6 +99,28 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     store = ParquetManifestStore(spark, args.warehouse)
+
+    if args.refresh:
+        from fischer_spark.operators.rollup import refresh_cascade
+        from fischer_spark.operators.series import build_series, encode_series_keys
+
+        # compact BEFORE reading for the merge: the folded read plan is
+        # O(#snapshots) nodes, and a long chain (many prior refreshes)
+        # must not be re-folded per tier merge
+        for t in ("rollup_1m", "rollup_1h", "rollup_1d"):
+            s = store.maybe_compact(t)
+            if s:
+                print(f"  compacted {t}: snapshot={s}")
+        late_points = build_series(pages)
+        if args.encode_keys:
+            late_points, _ = encode_series_keys(late_points)
+        snaps = refresh_cascade(store, late_points, impl=args.impl)
+        for tier, snap in snaps.items():
+            print(f"  refreshed rollup_{tier}: snapshot={snap}")
+        print(f"run {args.run_id}: refresh complete")
+        spark.stop()
+        return 0
+
     pipe = RollupPipeline(
         spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,

@@ -124,3 +124,42 @@ def test_query_range_decodes_key_encoded_tiers(spark, tmp_path):
     a = query_range(plain, "crawl_rate", start, end, 3600, stat="mean")
     b = query_range(fast, "crawl_rate", start, end, 3600, stat="mean", key_dim=dim)
     assert_df_equal(a, b, tol=1e-6)
+
+
+def test_query_raw_from_chunks(spark, tmp_path):
+    """query_raw returns exactly the raw series points inside [start, end),
+    decoding only zone-map-surviving chunks."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.api import query_raw
+    from fischer_spark.operators.chunks import encode_chunks, prune_chunks
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", "m", None, base + datetime.timedelta(days=d, minutes=i), float(d * 1440 + i))
+        for d in range(5)
+        for i in range(0, 120, 7)
+    ]
+    pts = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("chunks", encode_chunks(pts, "1d"))
+
+    start, end = "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    got = query_raw(store, "m", start, end)
+    want = pts.filter(
+        (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
+    )
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(got, want)
+
+    # zone-map pruning really prunes: 5 day-chunks → days 0/1 dropped;
+    # day 4 survives conservatively (t_start == inclusive t_to boundary)
+    # and its rows are removed by the exact post-decode filter
+    assert store.read("chunks").count() == 5
+    assert prune_chunks(store.read("chunks"), t_from=start, t_to=end).count() == 3

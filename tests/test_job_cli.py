@@ -67,3 +67,47 @@ def test_spark_submit_rollup_job(tmp_path):
     # fast path really ran: key_id + fixed64 state columns in the tiers
     cols = store.read("rollup_1m").columns
     assert "key_id" in cols and "sq_aa" in cols
+
+
+def test_rollup_job_refresh_mode(tmp_path):
+    """Full job then --refresh with late pages: tiers absorb the delta
+    (state counts grow), touched-buckets-only merge path exercised
+    through the CLI."""
+    import sys
+
+    wh = str(tmp_path / "wh")
+    base = [
+        sys.executable, str(REPO / "jobs" / "rollup_job.py"),
+        "--warehouse", wh, "--run-id", "r",
+    ]
+    p1 = subprocess.run(
+        base + ["--synth-pages", "2000", "--seed", "1"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-3000:]
+
+    sys.path.insert(0, str(REPO))
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    spark = get_spark("refresh_check", master="local[4]")
+    store = ParquetManifestStore(spark, wh)
+    before = {t: store.read(t).agg({"cnt": "sum"}).collect()[0][0]
+              for t in ("rollup_1m", "rollup_1h", "rollup_1d")}
+
+    p2 = subprocess.run(
+        base + ["--synth-pages", "500", "--seed", "2", "--refresh"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "refresh complete" in p2.stdout
+
+    after = {t: store.read(t).agg({"cnt": "sum"}).collect()[0][0]
+             for t in ("rollup_1m", "rollup_1h", "rollup_1d")}
+    # sum(cnt) is the total series-point count — identical at every tier
+    # (exact state algebra) and strictly grown by the refresh
+    assert len(set(before.values())) == 1 and len(set(after.values())) == 1
+    for t in before:
+        assert after[t] > before[t], (t, before[t], after[t])
+    # page_size contributes exactly one point per late page
+    assert after["rollup_1m"] >= before["rollup_1m"] + 500

@@ -336,3 +336,74 @@ def test_contamination_check_planted(spark, tmp_path):
            contamination_check_documents(spark, str(tmp_path)).collect()}
     # benchmark text has 10 tokens → 3 shingles of 8; doc 1 contains all 3
     assert got == {1: 3}
+
+
+# ---------------------------------------------------------------------------
+# cascade refresh: late data merged into every tier == full recompute
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("impl", ["decimal", "fixed64"])
+def test_refresh_cascade_equals_full_recompute(spark, tmp_path, impl):
+    from fischer_spark.operators.rollup import (
+        refresh_cascade,
+        rollup_points,
+        rollup_states,
+    )
+    from tests.conftest import assert_df_equal
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "domain string, metric string, tag string, bucket_ts timestamp, value double"
+
+    def pt(minutes, v):
+        return ("a", "m", None, base + datetime.timedelta(minutes=minutes), v)
+
+    history = spark.createDataFrame(
+        [pt(m, float(m % 11 + 1)) for m in range(0, 3000, 3)], schema
+    )
+    late = spark.createDataFrame(
+        [pt(7, 99.0), pt(1441, 3.5), pt(2999, 1.25)], schema  # spans all 3 days? (2 days + edges)
+    )
+    store = ParquetManifestStore(spark, str(tmp_path / f"w_{impl}"))
+    m1 = rollup_points(history, "1m", impl)
+    store.append("rollup_1m", m1)
+    h1 = rollup_states(store.read("rollup_1m"), "1h")
+    store.append("rollup_1h", h1)
+    store.append("rollup_1d", rollup_states(store.read("rollup_1h"), "1d"))
+
+    snaps = refresh_cascade(store, late, impl=impl)
+    assert snaps["1m"] and snaps["1h"] and snaps["1d"]
+
+    full = history.unionByName(late)
+    want_1m = rollup_points(full, "1m", impl)
+    want_1h = rollup_states(want_1m, "1h")
+    want_1d = rollup_states(want_1h, "1d")
+    assert_df_equal(store.read("rollup_1m"), want_1m)
+    assert_df_equal(store.read("rollup_1h"), want_1h)
+    assert_df_equal(store.read("rollup_1d"), want_1d)
+
+
+def test_refresh_tier_scattered_delta_span_fallback(spark, tmp_path):
+    """A delta fragmented into more contiguous runs than max_runs falls
+    back to ONE span commit whose merge still equals a full recompute."""
+    from fischer_spark.operators.rollup import refresh_tier, rollup_points
+    from tests.conftest import assert_df_equal
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "domain string, metric string, tag string, bucket_ts timestamp, value double"
+
+    def pt(minutes, v):
+        return ("a", "m", None, base + datetime.timedelta(minutes=minutes), v)
+
+    history = spark.createDataFrame([pt(m, 1.0) for m in range(0, 200, 2)], schema)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1m", rollup_points(history, "1m"))
+
+    # every 4th minute touched → 50 isolated runs > max_runs=8
+    late = spark.createDataFrame([pt(m, 5.0) for m in range(0, 200, 4)], schema)
+    refresh_tier(store, "rollup_1m", "1m", late, max_runs=8)
+
+    ow = [s for s in store.snapshots("rollup_1m") if s["op"] == "overwrite_range"]
+    assert len(ow) == 1  # single span commit, not 50
+
+    want = rollup_points(history.unionByName(late), "1m")
+    assert_df_equal(store.read("rollup_1m"), want)

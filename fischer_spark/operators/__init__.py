@@ -21,6 +21,11 @@ from fischer_spark.operators.dedup import (
     simhash_candidates,
 )
 from fischer_spark.operators.gapfill import bucket_spine, gapfill_locf, gapfill_linear
+from fischer_spark.operators.histogram import (
+    hist_merge,
+    hist_quantile,
+    hist_states,
+)
 from fischer_spark.operators.detect import (
     zscore_window,
     zscore_grouped_arrow,
@@ -50,6 +55,9 @@ __all__ = [
     "bucket_spine",
     "gapfill_locf",
     "gapfill_linear",
+    "hist_states",
+    "hist_merge",
+    "hist_quantile",
     "zscore_window",
     "zscore_grouped_arrow",
     "seasonal_profile",

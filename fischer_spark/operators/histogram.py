@@ -1,0 +1,109 @@
+"""Mergeable histogram tiers + percentile reads.
+
+The (cnt, Σ, Σ², min, max) state answers mean/stddev/min/max at any
+range, but a monitoring read surface also needs percentiles (p95
+latency-style questions). This module adds a SECOND tier family whose
+state is a fixed linear-bin histogram kept in LONG FORM —
+(key, bucket_ts, bin, count) rows — because:
+
+- merging is a plain groupBy SUM of integer counts: exact, associative,
+  order-free under any partitioning, exactly like the rollup states, so
+  1m→1h→1d histogram tiers compose bit-for-bit;
+- long form is the scalable shuffle representation (a bin row only
+  exists where data fell, so sparse buckets cost nothing; an
+  array<long> column would carry n_bins slots per bucket everywhere);
+- binning uses ONLY IEEE-exact arithmetic (subtract, divide, floor) —
+  no log/exp, whose libm implementations differ between engines in the
+  last ulp and would break cross-engine (DuckDB-oracle) determinism at
+  bin boundaries.
+
+Percentile estimation is the classic cumulative-bin walk: the first bin
+whose running count reaches ceil(q·total) yields the estimate (bin
+midpoint, clamped for the under/overflow bins). Error is bounded by
+bin width — the knob is (lo, hi, n_bins), chosen per metric family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fischer_spark.schemas import TIER_TRUNC
+
+KEY_COLS = ["domain", "metric", "tag"]
+
+UNDERFLOW = -1  # values < lo
+
+
+def bin_expr(value, lo: float, hi: float, n_bins: int):
+    """Bin index for a value: UNDERFLOW (<lo), n_bins (>=hi overflow),
+    else floor((v-lo)/width) — IEEE-exact, identical in any engine."""
+    width = (hi - lo) / n_bins
+    v = value
+    return (
+        F.when(v < F.lit(lo), F.lit(UNDERFLOW))
+        .when(v >= F.lit(hi), F.lit(n_bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+        .cast("int")
+    )
+
+
+def hist_states(
+    points: DataFrame, tier: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Series points → long-form histogram states per (key, tier bucket).
+    One shuffle (the groupBy); map-side partial agg collapses per-split
+    duplicates before the wire, same as the rollup path."""
+    keys = ["key_id"] if "key_id" in points.columns else KEY_COLS
+    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    return (
+        points.groupBy(*keys, bucket, bin_expr(F.col("value"), lo, hi, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_cnt"))
+        .withColumn("tier", F.lit(tier))
+        .select(*keys, "tier", "bucket_ts", "bin", "bin_cnt")
+    )
+
+
+def hist_merge(hist: DataFrame, tier: str) -> DataFrame:
+    """Finer histogram tier → coarser, by exact integer addition — the
+    continuous-aggregate cascade for the histogram family."""
+    keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
+    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    return (
+        hist.groupBy(*keys, bucket, "bin")
+        .agg(F.sum("bin_cnt").alias("bin_cnt"))
+        .withColumn("tier", F.lit(tier))
+        .select(*keys, "tier", "bucket_ts", "bin", "bin_cnt")
+    )
+
+
+def hist_quantile(
+    hist: DataFrame, q: float, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Per (key, bucket) q-quantile estimate from the cumulative bin
+    walk. target = ceil(q·total) (the rank-q element); the first bin
+    reaching it contributes its midpoint; under/overflow clamp to lo/hi.
+    Integer comparisons only — deterministic under any partitioning."""
+    keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*keys, "bucket_ts")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*keys, "bucket_ts")
+    cum = hist.withColumn("cum", F.sum("bin_cnt").over(w)).withColumn(
+        "total", F.sum("bin_cnt").over(tot)
+    )
+    target = F.ceil(F.lit(q) * F.col("total"))
+    hit = cum.filter(F.col("cum") >= target)
+    first = (
+        hit.groupBy(*keys, "bucket_ts")
+        .agg(F.min("bin").alias("qbin"), F.max("total").alias("n"))
+    )
+    est = (
+        F.when(F.col("qbin") == UNDERFLOW, F.lit(float(lo)))
+        .when(F.col("qbin") >= n_bins, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + (F.col("qbin") + F.lit(0.5)) * F.lit(width))
+    )
+    return first.select(*keys, "bucket_ts", F.col("n"), est.alias("quantile"))

@@ -270,3 +270,89 @@ def approx_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# mergeable histogram tier + percentile read (operators/histogram.py):
+# linear-bin long-form counts — exact integer merge, IEEE-exact binning
+# (no log/exp: libm last-ulp differences would break cross-engine
+# determinism at bin boundaries).
+# --------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_BINS = 0.0, 512.0, 64
+_H_W = (_H_HI - _H_LO) / _H_BINS
+
+_H_BIN_SQL = (
+    f"CASE WHEN value < {_H_LO} THEN -1 "
+    f"WHEN value >= {_H_HI} THEN {_H_BINS} "
+    f"ELSE CAST(floor((value - {_H_LO}) / {_H_W}) AS INT) END"
+)
+
+
+@register(
+    "hist_1h_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, CAST('event_value' AS VARCHAR) AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('hour', ts) AS bucket_ts, value
+    FROM events
+  )
+  SELECT domain, metric, tag, CAST('1h' AS VARCHAR) AS tier, bucket_ts,
+         {_H_BIN_SQL} AS bin, count(*) AS bin_cnt
+  FROM pts GROUP BY 1, 2, 3, 4, 5, 6
+""",
+)
+def hist_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fischer_spark.operators.histogram import hist_states
+    from fischer_spark.queries import _events_series
+
+    return hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
+
+
+@register(
+    "hist_p95_1d_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, CAST('event_value' AS VARCHAR) AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('day', ts) AS bucket_ts, value
+    FROM events
+  ),
+  h AS (
+    SELECT domain, metric, tag, bucket_ts, {_H_BIN_SQL} AS bin,
+           count(*) AS bin_cnt
+    FROM pts GROUP BY 1, 2, 3, 4, 5
+  ),
+  c AS (
+    SELECT *,
+           sum(bin_cnt) OVER (PARTITION BY domain, bucket_ts ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(bin_cnt) OVER (PARTITION BY domain, bucket_ts) AS total
+    FROM h
+  ),
+  f AS (
+    SELECT domain, metric, tag, bucket_ts,
+           min(bin) AS qbin, CAST(max(total) AS BIGINT) AS n
+    FROM c WHERE cum >= ceil(0.95 * total)
+    GROUP BY 1, 2, 3, 4
+  )
+  SELECT domain, metric, tag, bucket_ts, n,
+         CASE WHEN qbin = -1 THEN {_H_LO}
+              WHEN qbin >= {_H_BINS} THEN {_H_HI}
+              ELSE {_H_LO} + (qbin + 0.5) * {_H_W} END AS quantile
+  FROM f
+""",
+)
+def hist_p95_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 per (series key, day) from the CASCADED histogram: 1h states
+    merged to 1d by exact integer addition, then the cumulative bin walk
+    — exercising both the merge and the read in one gated query (the
+    oracle computes the 1d histogram directly; merge associativity makes
+    them identical)."""
+    from fischer_spark.operators.histogram import hist_merge, hist_quantile, hist_states
+    from fischer_spark.queries import _events_series
+
+    h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
+    h1d = hist_merge(h1h, "1d")
+    return hist_quantile(h1d, 0.95, _H_LO, _H_HI, _H_BINS)

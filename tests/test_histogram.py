@@ -1,0 +1,70 @@
+"""Histogram tier family: exact merge associativity, quantile error
+bound, partitioning invariance."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+LO, HI, BINS = 0.0, 100.0, 50
+WIDTH = (HI - LO) / BINS
+
+
+@pytest.fixture(scope="module")
+def value_points(spark):
+    rng = np.random.default_rng(9)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a" if i % 3 else "b", "m", None,
+         base + datetime.timedelta(minutes=i % 2880), float(v))
+        for i, v in enumerate(rng.uniform(-5, 110, 6000))  # incl. under/overflow
+    ]
+    return spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    ).cache()
+
+
+def test_hist_merge_equals_direct(spark, value_points):
+    from fischer_spark.operators.histogram import hist_merge, hist_states
+    from tests.conftest import assert_df_equal
+
+    via_1h = hist_merge(hist_states(value_points, "1h", LO, HI, BINS), "1d")
+    direct = hist_states(value_points, "1d", LO, HI, BINS)
+    assert_df_equal(via_1h.drop("tier"), direct.drop("tier"))
+
+
+def test_hist_partitioning_invariance(spark, value_points):
+    from fischer_spark.operators.histogram import hist_states
+    from tests.conftest import assert_df_equal
+
+    a = hist_states(value_points, "1h", LO, HI, BINS)
+    b = hist_states(value_points.repartition(13), "1h", LO, HI, BINS)
+    assert_df_equal(a, b)
+
+
+def test_hist_quantile_error_bound(spark, value_points):
+    """The bin-walk estimate is within one bin width of the true
+    rank-quantile for in-range values (the histogram's error contract)."""
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+
+    h = hist_states(value_points, "1d", LO, HI, BINS)
+    got = {
+        (r["domain"], r["bucket_ts"]): r["quantile"]
+        for r in hist_quantile(h, 0.95, LO, HI, BINS).collect()
+    }
+    pts = value_points.collect()
+    by_key: dict = {}
+    for r in pts:
+        k = (r["domain"], r["bucket_ts"].replace(hour=0, minute=0))
+        by_key.setdefault(k, []).append(r["value"])
+    assert set(got) == set(by_key)
+    for k, vals in by_key.items():
+        vals = sorted(vals)
+        true_q = vals[int(np.ceil(0.95 * len(vals))) - 1]  # rank-q element
+        if LO <= true_q < HI:
+            assert abs(got[k] - true_q) <= WIDTH, (k, got[k], true_q)
+        else:
+            assert got[k] in (LO, HI)

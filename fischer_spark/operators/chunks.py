@@ -28,7 +28,8 @@ from fischer_spark.codec.gorilla import (
     encode_timestamps,
     encode_values,
 )
-from fischer_spark.schemas import CHUNK_SCHEMA, SERIES_POINT_SCHEMA, TIER_TRUNC
+from fischer_spark.functions.time import bucketize, is_ntz
+from fischer_spark.schemas import CHUNK_SCHEMA, SERIES_POINT_SCHEMA
 
 KEY_COLS = ["domain", "metric", "tag"]
 
@@ -38,7 +39,6 @@ VAL_CODEC = "gorilla-v1"
 
 def encode_chunks(points: DataFrame, chunk_window: str = "1d") -> DataFrame:
     """Series points → one compressed chunk struct per (key, window)."""
-    trunc = TIER_TRUNC[chunk_window]
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts")
@@ -63,7 +63,7 @@ def encode_chunks(points: DataFrame, chunk_window: str = "1d") -> DataFrame:
             }
         )
 
-    src = points.withColumn("_win", F.date_trunc(trunc, "bucket_ts"))
+    src = points.withColumn("_win", bucketize("bucket_ts", chunk_window, is_ntz(points, "bucket_ts")))
     return src.groupBy(*KEY_COLS, "_win").applyInPandas(_encode, schema=CHUNK_SCHEMA)
 
 

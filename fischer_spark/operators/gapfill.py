@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fischer_spark.schemas import TIER_TRUNC
+from fischer_spark.functions.time import bucketize, is_ntz
 
 KEY_COLS = ["domain", "metric", "tag"]
 TIER_INTERVAL = {"1m": "interval 1 minute", "1h": "interval 1 hour", "1d": "interval 1 day"}
@@ -36,12 +36,11 @@ TIER_INTERVAL = {"1m": "interval 1 minute", "1h": "interval 1 hour", "1d": "inte
 def bucket_spine(points: DataFrame, tier: str) -> DataFrame:
     """Dense per-key bucket spine from each key's min to max bucket,
     left-joined with the real points; missing buckets have value NULL."""
-    trunc = TIER_TRUNC[tier]
     # tag is nullable and NULL join keys never match — carry a null-safe
     # sentinel key through the spine join, restore tag at the end.
     sentinel = "\x00"
     pts = (
-        points.withColumn("bucket_ts", F.date_trunc(trunc, "bucket_ts"))
+        points.withColumn("bucket_ts", bucketize("bucket_ts", tier, is_ntz(points, "bucket_ts")))
         .withColumn("_tagk", F.coalesce(F.col("tag"), F.lit(sentinel)))
         .drop("tag")
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fischer_spark.schemas import TIER_TRUNC
+from fischer_spark.functions.time import bucketize, is_ntz
 
 KEY_COLS = ["domain", "metric", "tag"]
 
@@ -55,7 +55,7 @@ def hist_states(
     One shuffle (the groupBy); map-side partial agg collapses per-split
     duplicates before the wire, same as the rollup path."""
     keys = ["key_id"] if "key_id" in points.columns else KEY_COLS
-    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    bucket = bucketize("bucket_ts", tier, is_ntz(points, "bucket_ts")).alias("bucket_ts")
     return (
         points.groupBy(*keys, bucket, bin_expr(F.col("value"), lo, hi, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("bin_cnt"))
@@ -68,7 +68,7 @@ def hist_merge(hist: DataFrame, tier: str) -> DataFrame:
     """Finer histogram tier → coarser, by exact integer addition — the
     continuous-aggregate cascade for the histogram family."""
     keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
-    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    bucket = bucketize("bucket_ts", tier, is_ntz(hist, "bucket_ts")).alias("bucket_ts")
     return (
         hist.groupBy(*keys, bucket, "bin")
         .agg(F.sum("bin_cnt").alias("bin_cnt"))

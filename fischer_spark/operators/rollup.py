@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fischer_spark.schemas import TIER_TRUNC
+from fischer_spark.functions.time import bucketize, is_ntz
 
 KEY_COLS = ["domain", "metric", "tag"]
 STATE_COLS = ["cnt", "sum", "sum_sq", "min", "max"]
@@ -125,7 +125,7 @@ def _keys_of(points: DataFrame) -> list[str]:
 
 def rollup_points(points: DataFrame, tier: str, impl: str = "decimal") -> DataFrame:
     """Raw series points → one tier of algebraic states."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    bucket = bucketize("bucket_ts", tier, is_ntz(points, "bucket_ts")).alias("bucket_ts")
     keys = _keys_of(points)
     return (
         points.groupBy(*keys, bucket)
@@ -141,7 +141,7 @@ def rollup_states(states: DataFrame, tier: str) -> DataFrame:
     The state impl is inferred from the columns present, so a cascade
     started in either impl re-aggregates consistently."""
     impl = "fixed64" if "sq_aa" in states.columns else "decimal"
-    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    bucket = bucketize("bucket_ts", tier, is_ntz(states, "bucket_ts")).alias("bucket_ts")
     keys = _keys_of(states)
     return (
         states.groupBy(*keys, bucket)
@@ -165,7 +165,7 @@ def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16, impl: s
     on the 80M-point bench input — BENCH/BASELINE.md).  Exactness is
     identical either way (decimal state algebra), so the choice is purely
     a physical one."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], "bucket_ts").alias("bucket_ts")
+    bucket = bucketize("bucket_ts", tier, is_ntz(points, "bucket_ts")).alias("bucket_ts")
     keys = _keys_of(points)
     salted = points.withColumn(
         "_salt", F.pmod(F.xxhash64("bucket_ts", "value"), F.lit(salt_k))

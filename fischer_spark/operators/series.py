@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fischer_spark.functions.time import bucketize, is_ntz
+
 KEY_COLS = ["domain", "metric", "tag"]
 SERIES_COLS = ["domain", "metric", "tag", "bucket_ts", "value"]
 
@@ -23,7 +25,7 @@ SERIES_COLS = ["domain", "metric", "tag", "bucket_ts", "value"]
 def crawl_rate_series(pages: DataFrame) -> DataFrame:
     """Pages per (domain, minute). Requires a `domain` column (with_url_parts)."""
     return (
-        pages.groupBy("domain", F.date_trunc("minute", "warc_ts").alias("bucket_ts"))
+        pages.groupBy("domain", bucketize("warc_ts", "1m", is_ntz(pages, "warc_ts")).alias("bucket_ts"))
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
         .withColumn("metric", F.lit("crawl_rate"))
         .withColumn("tag", F.lit(None).cast("string"))
@@ -50,7 +52,7 @@ def page_size_series(pages: DataFrame) -> DataFrame:
 def lang_mix_series(pages: DataFrame) -> DataFrame:
     """Per-minute language share per (domain, lang): exact count ratio."""
     counts = pages.groupBy(
-        "domain", F.date_trunc("minute", "warc_ts").alias("bucket_ts"), "lang"
+        "domain", bucketize("warc_ts", "1m", is_ntz(pages, "warc_ts")).alias("bucket_ts"), "lang"
     ).agg(F.count(F.lit(1)).alias("n"))
     # share = lang count / bucket total; the window repartitions on a prefix
     # of the groupBy keys so AQE coalesces it cheaply

@@ -155,3 +155,31 @@ def test_refresh_tier_incremental_merge(spark, points, tmp_path):
     assert ops[-1]["op"] == "overwrite_range"
     lo = second.agg(F.date_trunc("hour", F.min("bucket_ts"))).collect()[0][0]
     assert str(lo) == ops[-1]["lo"]
+
+
+def test_bucketize_equals_date_trunc(spark):
+    """The integer-arithmetic bucketization (functions/time.py, ~30%
+    faster on the volume stage) is identical to date_trunc under the
+    engine's pinned-UTC sessions — incl. pre-1970, sub-second, leap-day
+    and DST-date inputs (UTC has no DST; that's why it's pinned)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.functions.time import bucketize
+    from fischer_spark.schemas import TIER_TRUNC
+
+    rows = [
+        (datetime.datetime(1969, 12, 31, 23, 58, 59, 999999),),
+        (datetime.datetime(1970, 1, 1, 0, 0),),
+        (datetime.datetime(2024, 2, 29, 23, 59, 59, 500000),),
+        (datetime.datetime(2024, 3, 10, 2, 30, 0, 1),),
+        (datetime.datetime(2024, 11, 3, 1, 59, 59),),
+        (datetime.datetime(2038, 1, 19, 3, 14, 8),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    for tier, unit in TIER_TRUNC.items():
+        bad = df.filter(
+            ~F.date_trunc(unit, "ts").eqNullSafe(bucketize("ts", tier))
+        ).count()
+        assert bad == 0, tier

@@ -91,6 +91,25 @@ class Series:
             self.tier,
         )
 
+    def histogram(self, tier: str, lo: float, hi: float, n_bins: int = 64) -> "Series":
+        """Mergeable linear-bin histogram states at a tier (the percentile
+        tier family, operators/histogram.py)."""
+        from fischer_spark.operators.histogram import hist_states
+
+        s = Series(hist_states(self.df, tier, lo, hi, n_bins), tier)
+        s._hist_params = (lo, hi, n_bins)  # type: ignore[attr-defined]
+        return s
+
+    def quantile(self, q: float) -> "Series":
+        """q-quantile per (key, bucket) from histogram states (must
+        follow .histogram())."""
+        from fischer_spark.operators.histogram import hist_quantile
+
+        params = getattr(self, "_hist_params", None)
+        if params is None:
+            raise ValueError(".quantile() must follow .histogram(lo, hi, n_bins)")
+        return Series(hist_quantile(self.df, q, *params), self.tier)
+
     # -- introspection ------------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

@@ -163,3 +163,28 @@ def test_query_raw_from_chunks(spark, tmp_path):
     # and its rows are removed by the exact post-decode filter
     assert store.read("chunks").count() == 5
     assert prune_chunks(store.read("chunks"), t_from=start, t_to=end).count() == 3
+
+
+def test_series_histogram_quantile_fluent(spark):
+    """Fluent surface for the histogram tier family."""
+    import datetime
+
+    from fischer_spark.api import Series
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("a", "m", None, base + datetime.timedelta(minutes=i), float(i % 50))
+         for i in range(600)],
+        "domain string, metric string, tag string, bucket_ts timestamp, value double",
+    )
+    fluent = Series.from_points(pts).histogram("1h", 0.0, 50.0, 25).quantile(0.9)
+    direct = hist_quantile(hist_states(pts, "1h", 0.0, 50.0, 25), 0.9, 0.0, 50.0, 25)
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(fluent.df, direct.df if hasattr(direct, "df") else direct)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must follow"):
+        Series.from_points(pts).quantile(0.5)

@@ -215,6 +215,56 @@ def query_range(
     ).orderBy("domain", "tag", "bucket_ts")
 
 
+def query_range_hist(
+    store,
+    metric: str | None,
+    start: str,
+    end: str,
+    step_s: int,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    domain: str | None = None,
+    tag: str | None = None,
+):
+    """Percentile ``query_range``: serve a q-quantile series at any step
+    a histogram tier divides, by EXACT bin-count addition from the
+    coarsest dividing hist tier (hist_1d for day-multiple steps, else
+    hist_1h) — the same never-recompute-from-raw discipline as
+    query_range, extended to the percentile family. (lo, hi, n_bins)
+    must match the parameters the tier was built with.
+    """
+    from fischer_spark.operators.histogram import hist_quantile
+
+    tier = next(
+        (t for t in ("1d", "1h") if step_s % _TIER_S[t] == 0), None
+    )
+    if tier is None:
+        raise ValueError(
+            f"step_s={step_s} is not a multiple of any histogram tier bucket "
+            f"({_TIER_S['1h']}, {_TIER_S['1d']}); choose a step divisible by 3600"
+        )
+    h = store.read(f"hist_{tier}")
+    h = h.filter(
+        (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
+    )
+    if metric is not None and "metric" in h.columns:
+        h = h.filter(F.col("metric") == metric)
+    if domain is not None and "domain" in h.columns:
+        h = h.filter(F.col("domain") == domain)
+    if tag is not None and "tag" in h.columns:
+        h = h.filter(F.col("tag") == tag)
+    keys = ["key_id"] if "key_id" in h.columns else ["domain", "metric", "tag"]
+    step_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
+    ).alias("bucket_ts")
+    merged = h.groupBy(*keys, step_bucket, "bin").agg(
+        F.sum("bin_cnt").alias("bin_cnt")
+    )
+    return hist_quantile(merged, q, lo, hi, n_bins).orderBy(*keys, "bucket_ts")
+
+
 def query_raw(
     store,
     metric: str | None,

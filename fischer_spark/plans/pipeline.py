@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fischer_spark.operators.chunks import encode_chunks
+from fischer_spark.operators.histogram import hist_merge, hist_states
 from fischer_spark.operators.detect import (
     anomaly_intervals,
     seasonal_score,
@@ -57,6 +58,8 @@ class RollupPipeline:
         impl: str = "decimal",  # rollup state impl; "fixed64" = long fast path
         encode_keys: bool = False,  # dictionary-encode series keys in the rollup hot path
         gapfill: str | None = None,  # "locf" | "linear": fill the 1m spine before rollup
+        hist: bool = False,  # also materialize the percentile tier family (hist_1h/hist_1d) over page_size
+        hist_params: tuple[float, float, int] = (0.0, float(1 << 20), 256),  # (lo, hi, n_bins): page bytes
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -72,6 +75,8 @@ class RollupPipeline:
         if gapfill not in (None, "locf", "linear"):
             raise ValueError(f"unknown gapfill method {gapfill!r}")
         self.gapfill = gapfill
+        self.hist = hist
+        self.hist_params = hist_params
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
     # -- run-manifest ------------------------------------------------------
@@ -112,6 +117,7 @@ class RollupPipeline:
             "rollup_1m",
             "rollup_1h",
             "rollup_1d",
+            *(["hist_1h", "hist_1d"] if self.hist else []),
             "zscore_intervals",
             "seasonal_intervals",
             "chunks",
@@ -137,6 +143,14 @@ class RollupPipeline:
             "rollup_1d": lambda: rollup_states(
                 self.store.read("rollup_1h", self.completed().get("rollup_1h")), "1d"
             ),
+            # percentile tier family over the page_size series (the
+            # latency-shaped metric): hist_1h from raw points once, then
+            # hist_1d by exact integer merge — same cascade discipline as
+            # the rollup tiers
+            "hist_1h": lambda: self._hist_states("1h"),
+            "hist_1d": lambda: hist_merge(
+                self.store.read("hist_1h", self.completed().get("hist_1h")), "1d"
+            ),
             "zscore_intervals": lambda: anomaly_intervals(
                 zscore_window(self._hourly_means(), w=self.zscore_w, min_periods=8),
                 tau=self.tau,
@@ -159,6 +173,19 @@ class RollupPipeline:
             if until == stage:
                 break
         return out
+
+    def _hist_states(self, tier: str) -> DataFrame:
+        lo, hi, n_bins = self.hist_params
+        pts = self._series_points()
+        if "key_id" in pts.columns:
+            # key-encoded points carry no metric column: select the
+            # page_size keys via a broadcast semi-join on the persisted dim
+            dim = self.store.read("key_dim", self.completed().get("key_dim"))
+            page_keys = dim.filter(F.col("metric") == "page_size").select("key_id")
+            pts = pts.join(F.broadcast(page_keys), "key_id", "left_semi")
+        else:
+            pts = pts.filter(F.col("metric") == "page_size")
+        return hist_states(pts, tier, lo, hi, n_bins)
 
     def _gapfilled_series(self) -> DataFrame:
         """North-star ordering: the 1m bucket spine is gap-filled

@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         help="gap-fill the 1m series spine before rollup (north-star ordering)",
     )
     ap.add_argument(
+        "--hist",
+        action="store_true",
+        help="also materialize the percentile tier family (hist_1h/hist_1d "
+        "linear-bin histogram states over the page_size series)",
+    )
+    ap.add_argument(
         "--refresh",
         action="store_true",
         help="incremental mode: treat the input as LATE/NEW pages only and "
@@ -124,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     pipe = RollupPipeline(
         spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
+        hist=args.hist,
     )
     snaps = pipe.run(pages, until=args.until)
     if args.encode_keys and "key_dim" in snaps:

@@ -68,3 +68,37 @@ def test_hist_quantile_error_bound(spark, value_points):
             assert abs(got[k] - true_q) <= WIDTH, (k, got[k], true_q)
         else:
             assert got[k] in (LO, HI)
+
+
+def test_query_range_hist_p95(spark, tmp_path, value_points):
+    """query_range_hist serves p95 at a 2-day step from the hist_1d tier
+    by exact bin addition — equals computing the histogram at that step
+    directly from raw points."""
+    from fischer_spark.api import query_range_hist
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_df_equal
+
+    import pytest as _pytest
+
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("hist_1d", hist_states(value_points, "1d", LO, HI, BINS))
+
+    got = query_range_hist(
+        store, "m", "2024-01-01", "2024-01-10", step_s=2 * 86400, q=0.95,
+        lo=LO, hi=HI, n_bins=BINS,
+    )
+    step_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / (2 * 86400)).cast("long") * 2 * 86400
+    ).alias("bucket_ts")
+    direct = hist_quantile(
+        hist_states(value_points, "1d", LO, HI, BINS)
+        .groupBy("domain", "metric", "tag", step_bucket, "bin")
+        .agg(F.sum("bin_cnt").alias("bin_cnt")),
+        0.95, LO, HI, BINS,
+    )
+    assert_df_equal(got, direct)
+
+    with _pytest.raises(ValueError, match="not a multiple"):
+        query_range_hist(store, "m", "2024-01-01", "2024-01-10", 90, 0.95, LO, HI, BINS)

@@ -145,3 +145,40 @@ def test_gapfill_pipeline_stage(spark, tmp_path, small_pages):
     # dense: filled 1m rollup has at least as many buckets as unfilled
     unfilled = rollup_points(build_series(small_pages), "1m")
     assert got.count() >= unfilled.count()
+
+
+def test_hist_pipeline_stage(spark, tmp_path, small_pages):
+    """hist=True materializes the percentile tier family: hist_1h from
+    raw points, hist_1d by exact merge; p95 readable from either; the
+    key-encoded variant selects page_size keys via the persisted dim."""
+    from fischer_spark.operators.histogram import hist_merge, hist_quantile, hist_states
+
+    lo, hi, bins = 0.0, float(1 << 20), 256
+    root = str(tmp_path / "h")
+    pipe = RollupPipeline(
+        spark, ParquetManifestStore(spark, root), "rh", hist=True
+    )
+    pipe.run(small_pages, until="hist_1d")
+    store = ParquetManifestStore(spark, root)
+    assert {"hist_1h", "hist_1d"} <= set(pipe.completed())
+
+    from fischer_spark.operators.series import build_series
+    from tests.conftest import assert_df_equal
+
+    want_pts = build_series(small_pages).filter(F.col("metric") == "page_size")
+    want_1h = hist_states(want_pts, "1h", lo, hi, bins)
+    assert_df_equal(store.read("hist_1h"), want_1h)
+    assert_df_equal(store.read("hist_1d"), hist_merge(want_1h, "1d"))
+    assert hist_quantile(store.read("hist_1d"), 0.95, lo, hi, bins).count() > 0
+
+    # key-encoded variant: same histogram rows modulo key representation
+    root_f = str(tmp_path / "hf")
+    RollupPipeline(
+        spark, ParquetManifestStore(spark, root_f), "rhf",
+        impl="fixed64", encode_keys=True, hist=True,
+    ).run(small_pages, until="hist_1d")
+    sf_store = ParquetManifestStore(spark, root_f)
+    f1d = sf_store.read("hist_1d")
+    assert "key_id" in f1d.columns
+    assert f1d.agg(F.sum("bin_cnt")).collect()[0][0] == \
+        store.read("hist_1d").agg(F.sum("bin_cnt")).collect()[0][0]

@@ -249,12 +249,21 @@ def query_range_hist(
     h = h.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
     )
-    if metric is not None and "metric" in h.columns:
-        h = h.filter(F.col("metric") == metric)
-    if domain is not None and "domain" in h.columns:
-        h = h.filter(F.col("domain") == domain)
-    if tag is not None and "tag" in h.columns:
-        h = h.filter(F.col("tag") == tag)
+    wanted = {"metric": metric, "domain": domain, "tag": tag}
+    if "key_id" in h.columns:
+        # key-encoded hist tables carry no label columns: resolve label
+        # predicates through the persisted key_dim (never silently skip a
+        # filter — a p95 over the wrong key set is wrong, not approximate)
+        preds = {k: v for k, v in wanted.items() if v is not None}
+        if preds:
+            dim = store.read("key_dim")
+            for col, val in preds.items():
+                dim = dim.filter(F.col(col) == val)
+            h = h.join(F.broadcast(dim.select("key_id")), "key_id", "left_semi")
+    else:
+        for col, val in wanted.items():
+            if val is not None:
+                h = h.filter(F.col(col) == val)
     keys = ["key_id"] if "key_id" in h.columns else ["domain", "metric", "tag"]
     step_bucket = F.timestamp_seconds(
         (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s

@@ -102,3 +102,30 @@ def test_query_range_hist_p95(spark, tmp_path, value_points):
 
     with _pytest.raises(ValueError, match="not a multiple"):
         query_range_hist(store, "m", "2024-01-01", "2024-01-10", 90, 0.95, LO, HI, BINS)
+
+
+def test_query_range_hist_key_encoded_filters_via_dim(spark, tmp_path, value_points):
+    """On a key-encoded hist table, label predicates resolve through the
+    persisted key_dim (never silently skipped)."""
+    from fischer_spark.api import query_range_hist
+    from fischer_spark.operators.histogram import hist_states
+    from fischer_spark.operators.series import encode_series_keys
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    enc, dim = encode_series_keys(value_points)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("hist_1d", hist_states(enc, "1d", LO, HI, BINS))
+    store.append("key_dim", dim)
+
+    all_keys = query_range_hist(
+        store, None, "2024-01-01", "2024-01-10", 86400, 0.95, LO, HI, BINS
+    )
+    only_a = query_range_hist(
+        store, "m", "2024-01-01", "2024-01-10", 86400, 0.95, LO, HI, BINS,
+        domain="a",
+    )
+    n_all, n_a = all_keys.count(), only_a.count()
+    assert 0 < n_a < n_all  # the domain predicate really narrowed the keys
+    a_ids = {r["key_id"] for r in only_a.select("key_id").distinct().collect()}
+    want = {r["key_id"] for r in dim.filter("domain = 'a'").collect()}
+    assert a_ids <= want

@@ -154,7 +154,10 @@ def main(argv: list[str] | None = None) -> int:
         # tables (series / series_filled / chunks) retain at the "raw"
         # horizon (7d) — at design scale they are the biggest tables in
         # the warehouse and must not grow forever (VERDICT r1 missing #2).
-        targets = [(t, t.split("_")[1], "bucket_ts") for t in ("rollup_1m", "rollup_1h", "rollup_1d")]
+        targets = [
+            (t, t.split("_")[1], "bucket_ts")
+            for t in ("rollup_1m", "rollup_1h", "rollup_1d", "hist_1h", "hist_1d")
+        ]
         # chunks retain on t_end so a chunk straddling the cutoff (still
         # holding in-retention points) survives until fully expired
         targets += [
@@ -169,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"  retention applied to {table}: snapshot={s}")
 
     # fold long snapshot chains so read plans stay O(1) in commit count
-    for table in ("series", "series_filled", "rollup_1m", "rollup_1h", "rollup_1d", "chunks"):
+    for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
+                  "rollup_1d", "hist_1h", "hist_1d", "chunks"):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)
             if s:

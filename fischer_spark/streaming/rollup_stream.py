@@ -145,3 +145,41 @@ def streaming_zscore(bucket_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hist_tier(
+    pages_stream: DataFrame,
+    tier: str = "1h",
+    lo: float = 0.0,
+    hi: float = float(1 << 20),
+    n_bins: int = 256,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming histogram tier over the page_size stream: the same
+    long-form linear-bin state as the batch family
+    (operators/histogram.py), aggregated under a watermark — counts are
+    exact integers, so a finalized streaming window equals its batch
+    bucket bit-for-bit and the lambda seam holds for percentiles too."""
+    from fischer_spark.operators.histogram import bin_expr
+
+    if tier not in _TIER_DURATION:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(_TIER_DURATION)}")
+    v = F.col("page_bytes").cast("double")
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.col("domain"),
+            F.window("warc_ts", _TIER_DURATION[tier]).alias("win"),
+            bin_expr(v, lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(v).alias("bin_cnt"))
+        .select(
+            "domain",
+            F.lit("page_size").alias("metric"),
+            F.lit(None).cast("string").alias("tag"),
+            F.lit(tier).alias("tier"),
+            F.col("win.start").alias("bucket_ts"),
+            "bin",
+            "bin_cnt",
+        )
+    )

@@ -129,3 +129,37 @@ def test_streaming_coarse_tiers_match_batch(spark, pages_batch, tmp_path, tier):
         ).count()
         == 0
     )
+
+
+def test_streaming_hist_tier_matches_batch(spark, pages_batch, tmp_path):
+    """Streaming histogram states (finalized windows) equal the batch
+    histogram tier bit-for-bit — the percentile lambda seam."""
+    from fischer_spark.streaming.rollup_stream import streaming_hist_tier
+
+    src_dir = str(tmp_path / "hsrc")
+    pages_batch.write.parquet(src_dir)
+    stream = spark.readStream.schema(pages_batch.schema).parquet(src_dir)
+    q = (
+        streaming_hist_tier(stream, "1h", 0.0, float(1 << 20), 256, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("t_stream_hist")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_stream_hist")
+
+    from fischer_spark.operators.histogram import hist_states
+    from fischer_spark.operators.series import page_size_series
+
+    want = hist_states(page_size_series(pages_batch), "1h", 0.0, float(1 << 20), 256)
+    finalized = got.count()
+    assert finalized > 0
+    j = got.join(
+        want.select("domain", "bucket_ts", "bin", F.col("bin_cnt").alias("w_cnt")),
+        ["domain", "bucket_ts", "bin"],
+        "inner",
+    )
+    assert j.count() == finalized
+    assert j.filter(F.col("bin_cnt") != F.col("w_cnt")).count() == 0

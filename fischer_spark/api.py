@@ -222,9 +222,9 @@ def query_range_hist(
     end: str,
     step_s: int,
     q: float,
-    lo: float,
-    hi: float,
-    n_bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+    n_bins: int | None = None,
     domain: str | None = None,
     tag: str | None = None,
 ):
@@ -232,8 +232,14 @@ def query_range_hist(
     a histogram tier divides, by EXACT bin-count addition from the
     coarsest dividing hist tier (hist_1d for day-multiple steps, else
     hist_1h) — the same never-recompute-from-raw discipline as
-    query_range, extended to the percentile family. (lo, hi, n_bins)
-    must match the parameters the tier was built with.
+    query_range, extended to the percentile family.
+
+    (lo, hi, n_bins) default to the binning params persisted with the
+    tier (store meta, written by the pipeline); passing values that
+    disagree with the stored ones raises — a mismatch reinterprets
+    stored bin indices against different edges and returns
+    plausible-looking wrong quantiles (ADVICE r2). Tables built outside
+    the pipeline (no stored params) require explicit values.
     """
     from fischer_spark.operators.histogram import hist_quantile
 
@@ -244,6 +250,25 @@ def query_range_hist(
         raise ValueError(
             f"step_s={step_s} is not a multiple of any histogram tier bucket "
             f"({_TIER_S['1h']}, {_TIER_S['1d']}); choose a step divisible by 3600"
+        )
+    stored = store.meta(f"hist_{tier}") if hasattr(store, "meta") else {}
+    s_params = (
+        (stored["hist_lo"], stored["hist_hi"], stored["hist_n_bins"])
+        if "hist_lo" in stored
+        else None
+    )
+    if lo is None or hi is None or n_bins is None:
+        if s_params is None:
+            raise ValueError(
+                f"hist_{tier} has no persisted binning params (built outside "
+                "the pipeline?); pass lo/hi/n_bins explicitly"
+            )
+        lo, hi, n_bins = s_params
+    elif s_params is not None and (lo, hi, n_bins) != s_params:
+        raise ValueError(
+            f"(lo={lo}, hi={hi}, n_bins={n_bins}) disagree with the params "
+            f"hist_{tier} was built with {s_params}; bin indices are only "
+            "meaningful against the build edges"
         )
     h = store.read(f"hist_{tier}")
     h = h.filter(

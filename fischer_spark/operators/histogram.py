@@ -56,8 +56,12 @@ def hist_states(
     duplicates before the wire, same as the rollup path."""
     keys = ["key_id"] if "key_id" in points.columns else KEY_COLS
     bucket = bucketize("bucket_ts", tier, is_ntz(points, "bucket_ts")).alias("bucket_ts")
+    # NULL values are dropped before binning — the rollup states count with
+    # F.count(value) (NULL-skipping), and a NULL bin would sort first in
+    # hist_quantile's ascending cumulative walk, biasing quantiles low.
     return (
-        points.groupBy(*keys, bucket, bin_expr(F.col("value"), lo, hi, n_bins).alias("bin"))
+        points.filter(F.col("value").isNotNull())
+        .groupBy(*keys, bucket, bin_expr(F.col("value"), lo, hi, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("bin_cnt"))
         .withColumn("tier", F.lit(tier))
         .select(*keys, "tier", "bucket_ts", "bin", "bin_cnt")
@@ -75,6 +79,59 @@ def hist_merge(hist: DataFrame, tier: str) -> DataFrame:
         .withColumn("tier", F.lit(tier))
         .select(*keys, "tier", "bucket_ts", "bin", "bin_cnt")
     )
+
+
+def refresh_hist_tier(
+    store,
+    table: str,
+    tier: str,
+    delta_hist: DataFrame,
+    max_runs: int = 64,
+) -> str | None:
+    """Incremental refresh of one histogram tier: merge a pre-binned
+    delta (``hist_states`` over the late points, SAME (lo, hi, n_bins)
+    as the stored tier — the caller validates against the persisted
+    params) into exactly the touched buckets by exact integer bin-count
+    addition. Same run-planner, span fallback, and O(touched) contract
+    as the rollup family's ``refresh_tier`` (ADVICE r2: a late-data
+    refresh that skips the hist tiers leaves query_range_hist serving
+    stale percentiles that silently disagree with query_range means).
+    Returns the last committed snapshot id, or None for an empty delta."""
+    from fischer_spark.operators.rollup import _overwrite_touched
+
+    return _overwrite_touched(
+        store,
+        table,
+        delta_hist,
+        lambda df: hist_merge(df, tier),
+        tier_s={"1m": 60, "1h": 3600, "1d": 86400}[tier],
+        max_runs=max_runs,
+    )
+
+
+def refresh_hist_cascade(
+    store,
+    late_points: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    tiers: tuple[str, ...] = ("1h", "1d"),
+    table_prefix: str = "hist_",
+) -> dict[str, str | None]:
+    """Late-data refresh across the materialized histogram tiers: the
+    late points are binned ONCE at the finest tier; coarser deltas derive
+    by exact integer merge (never re-binning), mirroring the build-time
+    cascade. Returns {tier: snapshot_id-or-None}."""
+    delta = hist_states(late_points, tiers[0], lo, hi, n_bins).persist()
+    try:
+        out = {tiers[0]: refresh_hist_tier(store, f"{table_prefix}{tiers[0]}", tiers[0], delta)}
+        prev = delta
+        for t in tiers[1:]:
+            prev = hist_merge(prev, t)
+            out[t] = refresh_hist_tier(store, f"{table_prefix}{t}", t, prev)
+        return out
+    finally:
+        delta.unpersist()
 
 
 def hist_quantile(

@@ -266,10 +266,26 @@ def refresh_tier(
 
     Returns the last committed snapshot id, or None for an empty delta.
     """
+    return _overwrite_touched(
+        store,
+        table,
+        rollup_points(new_points, tier, impl),
+        lambda df: rollup_states(df, tier),
+        tier_s={"1m": 60, "1h": 3600, "1d": 86400}[tier],
+        max_runs=max_runs,
+    )
+
+
+def _overwrite_touched(store, table, delta, merge, tier_s, max_runs) -> str | None:
+    """Shared touched-bucket run-planner for incremental refresh (rollup
+    AND hist tier families): group the delta's distinct tier buckets into
+    contiguous runs, merge the delta onto existing rows of exactly those
+    buckets via ``merge`` (exact state addition — associative), commit one
+    idempotent ``overwrite_range`` per run, span-fallback past
+    ``max_runs``.  See ``refresh_tier`` for the full contract."""
     import datetime
 
-    tier_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
-    delta = rollup_points(new_points, tier, impl).persist()
+    delta = delta.persist()
     touched = sorted(
         r[0] for r in delta.select("bucket_ts").distinct().collect()
     )
@@ -295,7 +311,7 @@ def refresh_tier(
         existing = store.read(table).filter(
             (F.col("bucket_ts") >= F.lit(span_lo)) & (F.col("bucket_ts") < F.lit(span_hi))
         )
-        merged = rollup_states(existing.unionByName(delta), tier)
+        merged = merge(existing.unionByName(delta))
         snap = store.overwrite_range(
             table, merged, "bucket_ts", str(span_lo), str(span_hi)
         )
@@ -305,7 +321,7 @@ def refresh_tier(
     existing = store.read(table).join(
         F.broadcast(delta.select("bucket_ts").distinct()), "bucket_ts", "left_semi"
     )
-    merged = rollup_states(existing.unionByName(delta), tier).persist()
+    merged = merge(existing.unionByName(delta)).persist()
     merged.count()
     snap = None
     for run_lo, run_hi in runs:

@@ -170,6 +170,15 @@ class RollupPipeline:
         out: dict[str, str] = {}
         for stage in order:
             out[stage] = self._run_stage(stage, stage, builders[stage])
+            if stage in ("hist_1h", "hist_1d"):
+                # persist the binning params as table properties — the read
+                # path (query_range_hist) and the late-data refresh MUST use
+                # the exact build params or stored bin indices silently
+                # reinterpret against different edges (ADVICE r2)
+                lo, hi, n_bins = self.hist_params
+                self.store.set_meta(
+                    stage, hist_lo=lo, hist_hi=hi, hist_n_bins=n_bins
+                )
             if until == stage:
                 break
         return out

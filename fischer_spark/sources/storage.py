@@ -134,6 +134,20 @@ class ParquetManifestStore:
     def current_snapshot(self, table: str) -> str | None:
         return self._manifest(table)["current"]
 
+    # -- table metadata ----------------------------------------------------
+
+    def set_meta(self, table: str, **kv) -> None:
+        """Table-level key/value metadata in the manifest (the analogue of
+        Iceberg table properties). Used to persist build parameters a read
+        path must agree with — e.g. the histogram tiers' (lo, hi, n_bins),
+        which reinterpret stored bin indices if they drift (ADVICE r2)."""
+        m = self._manifest(table)
+        m.setdefault("meta", {}).update(kv)
+        _atomic_write_json(self._manifest_path(table), m)
+
+    def meta(self, table: str) -> dict:
+        return self._manifest(table).get("meta", {})
+
     def snapshots(self, table: str) -> list[dict]:
         return self._manifest(table)["snapshots"]
 
@@ -175,6 +189,8 @@ class ParquetManifestStore:
         m = {
             "snapshots": [{"snapshot_id": snap, "op": "append", "path": path, "parent": None}],
             "current": snap,
+            # table properties survive compaction (Iceberg semantics)
+            "meta": self._manifest(table).get("meta", {}),
         }
         _atomic_write_json(self._manifest_path(table), m)
         df.unpersist()

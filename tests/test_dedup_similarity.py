@@ -137,3 +137,116 @@ def test_embedding_near_dup_pairs_lsh_recall(spark):
     # OR-construction bound at cos≈0.995 (the planted pairs): ≈1-1e-5
     assert recall >= 0.9, (recall, sorted(truth - pairs))
     assert not (pairs - truth)  # exact verify step: no false positives
+
+
+def test_multi_table_buckets_match_single(spark):
+    """lsh_cosine_buckets_multi is bit-identical, table by table, to the
+    single-table form at seed + 1000*t (one Arrow pass replaces n_tables
+    scans — VERDICT r2 efficiency item)."""
+    from fischer_spark.operators.dedup import (
+        lsh_cosine_buckets,
+        lsh_cosine_buckets_multi,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    multi = {
+        (r.vec_id, r.table): r.bucket
+        for r in lsh_cosine_buckets_multi(
+            emb.select("vec_id", "embedding"), n_planes=6, n_tables=4, seed=7
+        ).collect()
+    }
+    for t in range(4):
+        single = {
+            r.vec_id: r.bucket
+            for r in lsh_cosine_buckets(
+                emb.select("vec_id", "embedding"), n_planes=6, seed=7 + 1000 * t
+            ).collect()
+        }
+        assert single == {v: b for (v, tt), b in multi.items() if tt == t}
+
+
+def test_candidate_shuffles_carry_ids_only(spark):
+    """VERDICT r2 #3: no aggregate (candidate-dedup) node carries the
+    embedding vectors — the distinct runs on id pairs; vectors join back
+    once AFTER dedup. Asserted on the physical plan of both LSH paths."""
+    from fischer_spark.operators.dedup import ann_topk_lsh, embedding_near_dup_pairs
+    from tests.test_plans import plan_of
+
+    src = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    for df in (
+        embedding_near_dup_pairs(src, n_planes=4, n_tables=3),
+        ann_topk_lsh(src, src.limit(2), k=3, n_planes=4, n_tables=3),
+    ):
+        p = plan_of(df)
+        # walk the formatted sections: every HashAggregate's Output must be
+        # vector-free (the r2 plan deduped rows carrying va/vb arrays)
+        for sect in p.split("\n(")[1:]:
+            head, *body = sect.split("\n")
+            if "HashAggregate" not in head:
+                continue
+            out = next((l for l in body if l.startswith("Output")), "")
+            assert "embedding" not in out and "va#" not in out and "vb#" not in out, (
+                head, out,
+            )
+        # single multi-table Arrow pass per bucketed input (the self-join
+        # duplicates each side's subplan, so ≤2 nodes per side), never one
+        # UDF invocation per table (n_tables=3 would give ≥6)
+        import re
+
+        n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+        assert n_arrow <= 4, n_arrow
+
+
+def test_ann_degenerate_bucket_guard(spark):
+    """VERDICT r2 #4: a dense clump that collapses into one corpus bucket
+    in every table is dropped by max_bucket instead of joining against
+    every probe; top-k on the well-spread keys is unaffected."""
+    import numpy as np
+
+    from fischer_spark.operators.dedup import ann_topk_lsh
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    normal = [(i, rng.standard_normal(dim).astype(float).tolist()) for i in range(40)]
+    clump_v = rng.standard_normal(dim)
+    clump = [
+        (1000 + i, (clump_v + 1e-6 * rng.standard_normal(dim)).astype(float).tolist())
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(normal + clump, "vec_id long, embedding array<double>")
+    probes = corpus.filter(F.col("vec_id") < 3)
+
+    guarded = ann_topk_lsh(corpus, probes, k=5, n_planes=3, n_tables=4, max_bucket=50)
+    rows = guarded.collect()
+    # the clump never surfaces: its buckets exceed the cap in every table
+    assert all(r.vec_id < 1000 for r in rows), sorted({r.vec_id for r in rows})
+    assert {r.probe_id for r in rows} == {0, 1, 2}
+    # without the guard the clump floods the candidate set
+    unguarded = ann_topk_lsh(corpus, probes, k=5, n_planes=3, n_tables=4)
+    assert any(r.vec_id >= 1000 for r in unguarded.collect())
+
+
+def test_ann_multiprobe_recall_dial(spark):
+    """Hamming-1 multiprobe lifts recall at fixed table count (the cheap
+    dial VERDICT r2 noted as missing)."""
+    from fischer_spark.operators.dedup import ann_topk_lsh
+    from fischer_spark.queries_webtext import cosine_topk_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = {(r.probe_id, r.vec_id) for r in cosine_topk_embeddings(spark, SF).collect()}
+    plain = {
+        (r.probe_id, r.vec_id)
+        for r in ann_topk_lsh(emb, probes, k=10, n_planes=6, n_tables=2).collect()
+    }
+    multi = {
+        (r.probe_id, r.vec_id)
+        for r in ann_topk_lsh(
+            emb, probes, k=10, n_planes=6, n_tables=2, multiprobe=True
+        ).collect()
+    }
+    assert len(multi & want) >= len(plain & want), (len(multi & want), len(plain & want))
+    assert len(multi & want) / len(want) >= 0.5, len(multi & want) / len(want)

@@ -163,3 +163,92 @@ def test_streaming_hist_tier_matches_batch(spark, pages_batch, tmp_path):
     )
     assert j.count() == finalized
     assert j.filter(F.col("bin_cnt") != F.col("w_cnt")).count() == 0
+
+
+def test_streaming_late_event_within_watermark_matches_batch_refresh(
+    spark, tmp_path
+):
+    """VERDICT r2 next #7 — the lambda seam under late data: a late event
+    arriving INSIDE the watermark merges into its still-open window, and
+    the finalized streaming state equals the batch system of record after
+    an idempotent late-data refresh (refresh_tier → overwrite_range) —
+    bit-for-bit, every state column."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from fischer_spark.operators.rollup import refresh_tier, rollup_points
+    from fischer_spark.operators.series import page_size_series
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from fischer_spark.streaming.rollup_stream import streaming_rollup_1m
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda m, b: ("d", t0 + datetime.timedelta(minutes=m), b)
+    schema = "domain string, warc_ts timestamp, page_bytes long"
+    on_time = [mk(m, 100 + m) for m in range(10)] + [mk(30, 500)]
+    late = [mk(5, 999)]  # same 1m bucket as the on-time minute-5 row
+    flush1 = [mk(180, 1)]  # advances watermark past every real window
+    flush2 = [mk(240, 1)]  # one more batch so append-mode emits them
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, batch in enumerate([on_time, late, flush1, flush2]):
+        part_dir = str(tmp_path / f"b{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(part_dir)
+        dst = str(src / f"{i:02d}.parquet")
+        shutil.copy(glob.glob(f"{part_dir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))  # file-source order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file, in order
+        .parquet(str(src))
+    )
+    q = (
+        streaming_rollup_1m(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_stream_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_stream_late WHERE bucket_ts < '2024-01-01 01:00:00'")
+
+    # the late row merged into its open window before finalization
+    merged = got.filter(F.col("bucket_ts") == "2024-01-01 00:05:00").collect()
+    assert len(merged) == 1 and merged[0]["cnt"] == 2
+    assert float(merged[0]["sum"]) == 105.0 + 999.0
+    assert got.count() == 11  # all on-time windows finalized too
+
+    # batch system of record: base rollup committed, then the late event
+    # arrives and refresh_tier reprocesses exactly the touched bucket
+    store = ParquetManifestStore(spark, str(tmp_path / "wh"))
+    base_pts = page_size_series(spark.createDataFrame(on_time, schema))
+    store.append("rollup_1m", rollup_points(base_pts, "1m"))
+    late_pts = page_size_series(spark.createDataFrame(late, schema))
+    assert refresh_tier(store, "rollup_1m", "1m", late_pts) is not None
+
+    want = store.read("rollup_1m")
+    j = got.join(
+        want.select(
+            "domain", "bucket_ts",
+            F.col("cnt").alias("w_cnt"), F.col("sum").alias("w_sum"),
+            F.col("sum_sq").alias("w_sq"), F.col("min").alias("w_min"),
+            F.col("max").alias("w_max"),
+        ),
+        ["domain", "bucket_ts"],
+        "inner",
+    )
+    assert j.count() == 11  # every finalized window exists in the store
+    assert (
+        j.filter(
+            (F.col("cnt") != F.col("w_cnt"))
+            | (F.col("sum") != F.col("w_sum"))
+            | (F.col("sum_sq") != F.col("w_sq"))
+            | (F.col("min") != F.col("w_min"))
+            | (F.col("max") != F.col("w_max"))
+        ).count()
+        == 0
+    )

@@ -97,8 +97,17 @@ t0 = time.perf_counter()
 dim = spark.read.parquet({dim!r})
 hourly = decode_series_keys(with_derived_stats(h1), dim).select(
     "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value"))
-iv = anomaly_intervals(zscore_window(hourly, 24, 8), tau=3.0).count()
-iv += anomaly_intervals(seasonal_score(hourly), tau=3.0).count()
+# both detectors fused into ONE action (union of the interval tables,
+# single job) — the detect stage runs on tier rows (1/60 of input), so
+# at sandbox sizes it is fixed-job-overhead dominated and two separate
+# counts paid that overhead twice, dragging the composite ratio to
+# ~0.47 while each detector's compute scaled fine (VERDICT r2 next #2);
+# production writes one intervals table with a detector column anyway.
+iv = (
+    anomaly_intervals(zscore_window(hourly, 24, 8), tau=3.0)
+    .unionByName(anomaly_intervals(seasonal_score(hourly), tau=3.0, detector="seasonal"))
+    .count()
+)
 t_det = time.perf_counter() - t0
 print(json.dumps(dict(n=n, t_roll=t_roll, t_1m=t_1m, t_1h=t_1h, t_1d=t_1d,
                       t_det=t_det, tier_rows=tier_rows, ivals=iv)))

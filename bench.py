@@ -71,8 +71,10 @@ def main() -> None:
         "tpch_q1ish",
         "revenue_by_nation",
         "top_customers_per_nation",
+        "hist_p95_1d_events",
         "exact_dedup_documents",
         "minhash_band_candidates",
+        "contamination_check_documents",
         "ngram_jaccard_neighbors",
         "quality_score_documents",
         "cosine_topk_embeddings",
@@ -125,9 +127,12 @@ def main() -> None:
         t_rollup = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        # persisted: both detector branches of the fused union consume it
+        # (without the cache each branch re-scans the 1h tier + re-runs
+        # the decode join); tier rows are tiny, the cache is a few MB
         hourly = decode_series_keys(with_derived_stats(tiers["1h"]), key_dim).select(
             "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
-        )
+        ).persist()
         # both detectors assemble into ONE action (union of the interval
         # tables): the detect stage at tier-row scale is fixed-job-overhead
         # dominated, and two separate counts paid that overhead twice —
@@ -140,6 +145,7 @@ def main() -> None:
         )
         n_ivals = ivals.count()
         t_detect = time.perf_counter() - t0
+        hourly.unpersist()
 
         series.unpersist()
         key_dim.unpersist()

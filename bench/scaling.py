@@ -96,7 +96,10 @@ tier_rows = dict(m1=m1.count(), h1=h1.count(),
 t0 = time.perf_counter()
 dim = spark.read.parquet({dim!r})
 hourly = decode_series_keys(with_derived_stats(h1), dim).select(
-    "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value"))
+    "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")).persist()
+# hourly is persisted: BOTH detector branches of the fused union consume
+# it, and without the cache each branch would re-scan the 1h tier and
+# re-run the decode join (tier rows are tiny — the cache is a few MB).
 # both detectors fused into ONE action (union of the interval tables,
 # single job) — the detect stage runs on tier rows (1/60 of input), so
 # at sandbox sizes it is fixed-job-overhead dominated and two separate
@@ -109,6 +112,7 @@ iv = (
     .count()
 )
 t_det = time.perf_counter() - t0
+hourly.unpersist()
 print(json.dumps(dict(n=n, t_roll=t_roll, t_1m=t_1m, t_1h=t_1h, t_1d=t_1d,
                       t_det=t_det, tier_rows=tier_rows, ivals=iv)))
 spark.stop()

@@ -24,7 +24,13 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from bench.scaling import _workdir, prepare_input  # noqa: E402
+# load by path: repo-root bench.py shadows the bench/ dir as a module name
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location("_scaling", REPO / "bench" / "scaling.py")
+_scaling = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_scaling)
+prepare_input, _workdir = _scaling.prepare_input, _scaling._workdir
 
 _SNIPPET = """
 import sys, time, json, shutil, os

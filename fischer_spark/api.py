@@ -275,28 +275,40 @@ def query_range_hist(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
     )
     wanted = {"metric": metric, "domain": domain, "tag": tag}
-    if "key_id" in h.columns:
+    encoded = "key_id" in h.columns
+    if encoded:
         # key-encoded hist tables carry no label columns: resolve label
         # predicates through the persisted key_dim (never silently skip a
         # filter — a p95 over the wrong key set is wrong, not approximate)
+        dim = store.read("key_dim")
         preds = {k: v for k, v in wanted.items() if v is not None}
         if preds:
-            dim = store.read("key_dim")
+            fdim = dim
             for col, val in preds.items():
-                dim = dim.filter(F.col(col) == val)
-            h = h.join(F.broadcast(dim.select("key_id")), "key_id", "left_semi")
+                fdim = fdim.filter(F.col(col) == val)
+            h = h.join(F.broadcast(fdim.select("key_id")), "key_id", "left_semi")
     else:
         for col, val in wanted.items():
             if val is not None:
                 h = h.filter(F.col(col) == val)
-    keys = ["key_id"] if "key_id" in h.columns else ["domain", "metric", "tag"]
+    keys = ["key_id"] if encoded else ["domain", "metric", "tag"]
     step_bucket = F.timestamp_seconds(
         (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
     ).alias("bucket_ts")
     merged = h.groupBy(*keys, step_bucket, "bin").agg(
         F.sum("bin_cnt").alias("bin_cnt")
     )
-    return hist_quantile(merged, q, lo, hi, n_bins).orderBy(*keys, "bucket_ts")
+    out = hist_quantile(merged, q, lo, hi, n_bins)
+    if encoded:
+        # decode to label sets — the read surface returns (domain, metric,
+        # tag) rows like query_range, never internal key_ids (broadcast on
+        # the tiny dim, applied to quantile-sized output only)
+        from fischer_spark.operators.series import decode_series_keys
+
+        out = decode_series_keys(out, dim).select(
+            "domain", "metric", "tag", "bucket_ts", "n", "quantile"
+        )
+    return out.orderBy("domain", "metric", "tag", "bucket_ts")
 
 
 def query_raw(

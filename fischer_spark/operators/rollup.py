@@ -318,7 +318,15 @@ def _overwrite_touched(store, table, delta, merge, tier_s, max_runs) -> str | No
         delta.unpersist()
         return snap
 
-    existing = store.read(table).join(
+    # span range-filter FIRST (a plain predicate Catalyst pushes into the
+    # parquet scan, pruning row groups outside [min, max) of the touched
+    # buckets — a day's delta against a month's tier reads ~1/30th), then
+    # the broadcast semi-join exact-filters to the touched buckets inside
+    # the span
+    existing = store.read(table).filter(
+        (F.col("bucket_ts") >= F.lit(touched[0]))
+        & (F.col("bucket_ts") < F.lit(touched[-1] + step))
+    ).join(
         F.broadcast(delta.select("bucket_ts").distinct()), "bucket_ts", "left_semi"
     )
     merged = merge(existing.unionByName(delta)).persist()

@@ -126,6 +126,7 @@ def test_query_range_hist_key_encoded_filters_via_dim(spark, tmp_path, value_poi
     )
     n_all, n_a = all_keys.count(), only_a.count()
     assert 0 < n_a < n_all  # the domain predicate really narrowed the keys
-    a_ids = {r["key_id"] for r in only_a.select("key_id").distinct().collect()}
-    want = {r["key_id"] for r in dim.filter("domain = 'a'").collect()}
-    assert a_ids <= want
+    # r3: the read surface decodes key_ids back to label sets (consistent
+    # with query_range — consumers never see internal ids)
+    assert "key_id" not in only_a.columns
+    assert {r["domain"] for r in only_a.select("domain").distinct().collect()} == {"a"}

@@ -14,6 +14,8 @@ from fischer_spark.operators.rollup import (
     tiered_rollups,
 )
 from fischer_spark.operators.dedup import (
+    ann_topk_ivf,
+    ann_topk_lsh,
     embedding_near_dup_pairs,
     minhash_candidates,
     minhash_signatures,
@@ -47,6 +49,8 @@ __all__ = [
     "rollup_points_salted",
     "with_derived_stats",
     "tiered_rollups",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
     "embedding_near_dup_pairs",
     "minhash_signatures",
     "minhash_candidates",

@@ -378,6 +378,101 @@ def embedding_near_dup_pairs(
     )
 
 
+def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_centroids: int = 64,
+    n_probe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style coarse quantization: each vector is assigned to its
+    ``n_probe`` nearest of ``n_centroids`` seeded random unit centroids
+    (argpartition over one matmul per Arrow batch — no per-row Python).
+    Output: input columns minus the vector, plus exploded (probe_rank,
+    centroid) rows.
+
+    The centroids are deterministic random directions, NOT k-means-trained
+    (training needs corpus actions/iterations at plan-build time); what
+    this scale path exercises is the IVF *structure* — centroid-partitioned
+    corpus, multi-probe candidate lists, exact re-rank — which is the part
+    that matters for the shuffle/partitioning story at 100 TB. Swapping in
+    trained centroids is a drop-in (same matmul) once an offline training
+    job exists. argmax of dot(v, c) over unit centroids == argmax cosine,
+    so corpus vectors need no normalization."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())
+        c = _centroids(dim if dim is not None else m.shape[1], n_centroids, seed)
+        scores = m @ c.T  # (n, n_centroids)
+        p = min(n_probe, n_centroids)
+        top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        # order the probe list by score (argpartition is unordered)
+        row = np.arange(len(m))[:, None]
+        order = np.argsort(-scores[row, top], axis=1)
+        return pd.Series(list(top[row, order].astype(np.int32)))
+
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(*keep, _assign(F.col(vec_col)).alias("_cs")).select(
+        *keep, F.posexplode("_cs").alias("probe_rank", "centroid")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF coarse quantization (the second ANN scale path
+    beside the hyperplane-LSH ``ann_topk_lsh``): the corpus is partitioned
+    by nearest centroid (one list each); each probe visits its ``n_probe``
+    nearest centroid lists; exact cosine re-ranks the deduplicated
+    candidates. Recall/cost dial: n_probe/n_centroids is the fraction of
+    the corpus scanned per probe (classic IVF nprobe trade).
+
+    Same shuffle discipline as the LSH paths: assignment rows carry ids
+    only, candidates dedup on (probe_id, id), vectors join back once."""
+    from pyspark.sql import Window
+
+    ca = ivf_assign(
+        corpus.select(id_col, vec_col), vec_col,
+        n_centroids=n_centroids, n_probe=1, seed=seed,
+    ).drop("probe_rank")
+    pa = ivf_assign(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe")),
+        "pe", n_centroids=n_centroids, n_probe=n_probe, seed=seed,
+    ).drop("probe_rank")
+    cand = (
+        ca.join(pa, "centroid")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col)
+        .distinct()
+    )
+    pe = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe"))
+    ve = corpus.select(id_col, vec_col)
+    j = cand.join(pe, "probe_id").join(ve, id_col)
+    scored = j.select("probe_id", F.col(id_col), _cosine("pe", vec_col).alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -674,6 +674,18 @@ def ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, probes, k=10, n_planes=4, n_tables=16)
 
 
+@register("ann_topk_ivf_embeddings")
+def ann_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN top-k (the second scale path beside
+    hyperplane LSH; oracle is the same brute-force cosine_topk query —
+    rows-only here, recall gated by pytest like the LSH form)."""
+    from fischer_spark.operators.dedup import ann_topk_ivf
+
+    emb = scan_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ann_topk_ivf(emb, probes, k=10, n_centroids=32, n_probe=16)
+
+
 @register("cosine_topk_embeddings", _COSINE_TOPK_SQL)
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine: probe set is broadcast, corpus scanned once;

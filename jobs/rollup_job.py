@@ -229,8 +229,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"  retention applied to {table}: snapshot={s}")
 
     # fold long snapshot chains so read plans stay O(1) in commit count
+    # (key_dim included: --refresh appends newly seen keys per run)
     for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
-                  "rollup_1d", "hist_1h", "hist_1d", "chunks"):
+                  "rollup_1d", "hist_1h", "hist_1d", "chunks", "key_dim"):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)
             if s:

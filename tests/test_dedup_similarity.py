@@ -250,3 +250,66 @@ def test_ann_multiprobe_recall_dial(spark):
     }
     assert len(multi & want) >= len(plain & want), (len(multi & want), len(plain & want))
     assert len(multi & want) / len(want) >= 0.5, len(multi & want) / len(want)
+
+
+def test_ivf_recall_and_nprobe_dial(spark):
+    """IVF ANN (second scale path): recall vs brute force at half-space
+    nprobe, monotone in n_probe; full probe (n_probe == n_centroids)
+    recovers brute force exactly."""
+    from fischer_spark.operators.dedup import ann_topk_ivf
+    from fischer_spark.queries_webtext import cosine_topk_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = {(r.probe_id, r.vec_id) for r in cosine_topk_embeddings(spark, SF).collect()}
+
+    full = ann_topk_ivf(emb, probes, k=10, n_centroids=16, n_probe=16)
+    got_full = {(r.probe_id, r.vec_id) for r in full.collect()}
+    assert got_full == want  # visiting every list == exact
+
+    half = {(r.probe_id, r.vec_id)
+            for r in ann_topk_ivf(emb, probes, k=10, n_centroids=16, n_probe=8).collect()}
+    one = {(r.probe_id, r.vec_id)
+           for r in ann_topk_ivf(emb, probes, k=10, n_centroids=16, n_probe=1).collect()}
+    assert len(half & want) >= len(one & want)
+    assert len(half & want) / len(want) >= 0.5, len(half & want) / len(want)
+
+
+def test_ivf_planted_neighbors_single_probe(spark):
+    """Near-identical vectors share their nearest centroid, so planted
+    near-dups are found even at n_probe=1 (the cheapest setting)."""
+    import numpy as np
+
+    from fischer_spark.operators.dedup import ann_topk_ivf
+
+    rng = np.random.default_rng(21)
+    dim = 24
+    base = rng.standard_normal((30, dim))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(30)]
+    rows += [
+        (100 + i, (base[i] + 1e-4 * rng.standard_normal(dim)).astype(float).tolist())
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 5)
+    got = ann_topk_ivf(df, probes, k=1, n_centroids=8, n_probe=1, seed=3).collect()
+    assert {(r.probe_id, r.vec_id) for r in got} == {(i, 100 + i) for i in range(5)}
+
+
+def test_ivf_shuffles_carry_ids_only(spark):
+    """Same shuffle discipline as the LSH paths: no HashAggregate in the
+    IVF plan carries the embedding vectors."""
+    from fischer_spark.operators.dedup import ann_topk_ivf
+    from tests.test_plans import plan_of
+
+    src = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(ann_topk_ivf(src, src.limit(2), k=3, n_centroids=4, n_probe=2))
+    for sect in p.split("\n(")[1:]:
+        head, *body = sect.split("\n")
+        if "HashAggregate" not in head:
+            continue
+        out = next((l for l in body if l.startswith("Output")), "")
+        assert "embedding" not in out and "pe#" not in out, (head, out)

@@ -252,11 +252,27 @@ def query_range_hist(
             f"({_TIER_S['1h']}, {_TIER_S['1d']}); choose a step divisible by 3600"
         )
     stored = store.meta(f"hist_{tier}") if hasattr(store, "meta") else {}
-    s_params = (
-        (stored["hist_lo"], stored["hist_hi"], stored["hist_n_bins"])
-        if "hist_lo" in stored
-        else None
-    )
+    # per-family params map (r3: each metric family has its own bin edges);
+    # legacy single-triple meta keys read as a one-family map
+    pmap = stored.get("hist_params")
+    if pmap is None and "hist_lo" in stored:
+        pmap = {None: [stored["hist_lo"], stored["hist_hi"], stored["hist_n_bins"]]}
+    s_params = None
+    if pmap:
+        if metric is not None and metric in pmap:
+            s_params = tuple(pmap[metric])
+        elif len(pmap) == 1:
+            s_params = tuple(next(iter(pmap.values())))
+        elif metric is None:
+            raise ValueError(
+                f"hist_{tier} holds {sorted(k for k in pmap)} families with "
+                "different bin edges; pass metric= to select one"
+            )
+        else:
+            raise ValueError(
+                f"metric {metric!r} was not histogrammed into hist_{tier} "
+                f"(stored families: {sorted(k for k in pmap)})"
+            )
     if lo is None or hi is None or n_bins is None:
         if s_params is None:
             raise ValueError(

@@ -81,6 +81,39 @@ def hist_merge(hist: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def hist_states_families(
+    points: DataFrame,
+    tier: str,
+    params_by_metric: dict[str, tuple[float, float, int]],
+    key_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Union of per-family histogram states: each metric family is binned
+    with its OWN (lo, hi, n_bins) — a latency-shaped family (page_size,
+    bytes) and a rate-shaped one (crawl_rate, small counts) cannot share
+    bin edges. Families coexist in the same long-form tier tables; their
+    bin indices are interpreted per-metric through the params persisted
+    in table meta (api.query_range_hist resolves them by metric filter).
+
+    Key-encoded points carry no metric column, so family selection goes
+    through the persisted ``key_dim`` (broadcast semi-join per family)."""
+    outs = []
+    for metric, (lo, hi, n_bins) in sorted(params_by_metric.items()):
+        if "key_id" in points.columns:
+            if key_dim is None:
+                raise ValueError(
+                    "key-encoded points need key_dim to select metric families"
+                )
+            keys = key_dim.filter(F.col("metric") == metric).select("key_id")
+            pts = points.join(F.broadcast(keys), "key_id", "left_semi")
+        else:
+            pts = points.filter(F.col("metric") == metric)
+        outs.append(hist_states(pts, tier, lo, hi, n_bins))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def refresh_hist_tier(
     store,
     table: str,
@@ -121,8 +154,38 @@ def refresh_hist_cascade(
     """Late-data refresh across the materialized histogram tiers: the
     late points are binned ONCE at the finest tier; coarser deltas derive
     by exact integer merge (never re-binning), mirroring the build-time
-    cascade. Returns {tier: snapshot_id-or-None}."""
-    delta = hist_states(late_points, tiers[0], lo, hi, n_bins).persist()
+    cascade. Single-param form: every late point binned with one
+    (lo, hi, n_bins). Returns {tier: snapshot_id-or-None}."""
+    return _refresh_hist_delta(
+        store, hist_states(late_points, tiers[0], lo, hi, n_bins), tiers, table_prefix
+    )
+
+
+def refresh_hist_cascade_families(
+    store,
+    late_points: DataFrame,
+    params_by_metric: dict[str, tuple[float, float, int]],
+    key_dim: DataFrame | None = None,
+    tiers: tuple[str, ...] = ("1h", "1d"),
+    table_prefix: str = "hist_",
+) -> dict[str, str | None]:
+    """Multi-family late-data refresh: the union delta (each family binned
+    with its own params, matching the build) merges in ONE refresh pass
+    per tier — the touched-bucket overwrite re-aggregates every family's
+    rows in those buckets, so families not present in the delta ride
+    through unchanged (state addition with an empty delta is identity)."""
+    return _refresh_hist_delta(
+        store,
+        hist_states_families(late_points, tiers[0], params_by_metric, key_dim),
+        tiers,
+        table_prefix,
+    )
+
+
+def _refresh_hist_delta(
+    store, delta: DataFrame, tiers: tuple[str, ...], table_prefix: str
+) -> dict[str, str | None]:
+    delta = delta.persist()
     try:
         out = {tiers[0]: refresh_hist_tier(store, f"{table_prefix}{tiers[0]}", tiers[0], delta)}
         prev = delta

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fischer_spark.operators.chunks import encode_chunks
-from fischer_spark.operators.histogram import hist_merge, hist_states
+from fischer_spark.operators.histogram import hist_merge
 from fischer_spark.operators.detect import (
     anomaly_intervals,
     seasonal_score,
@@ -58,8 +58,11 @@ class RollupPipeline:
         impl: str = "decimal",  # rollup state impl; "fixed64" = long fast path
         encode_keys: bool = False,  # dictionary-encode series keys in the rollup hot path
         gapfill: str | None = None,  # "locf" | "linear": fill the 1m spine before rollup
-        hist: bool = False,  # also materialize the percentile tier family (hist_1h/hist_1d) over page_size
-        hist_params: tuple[float, float, int] = (0.0, float(1 << 20), 256),  # (lo, hi, n_bins): page bytes
+        hist: bool = False,  # also materialize the percentile tier family (hist_1h/hist_1d)
+        # binning params PER METRIC FAMILY — each family gets its own
+        # (lo, hi, n_bins) because bin edges are family-shaped (bytes vs
+        # rates); a bare tuple is accepted as the page_size-only legacy form
+        hist_params: dict[str, tuple[float, float, int]] | tuple = None,  # type: ignore[assignment]
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -76,6 +79,10 @@ class RollupPipeline:
             raise ValueError(f"unknown gapfill method {gapfill!r}")
         self.gapfill = gapfill
         self.hist = hist
+        if hist_params is None:
+            hist_params = {"page_size": (0.0, float(1 << 20), 256)}
+        elif isinstance(hist_params, tuple):
+            hist_params = {"page_size": hist_params}
         self.hist_params = hist_params
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
@@ -174,27 +181,26 @@ class RollupPipeline:
                 # persist the binning params as table properties — the read
                 # path (query_range_hist) and the late-data refresh MUST use
                 # the exact build params or stored bin indices silently
-                # reinterpret against different edges (ADVICE r2)
-                lo, hi, n_bins = self.hist_params
+                # reinterpret against different edges (ADVICE r2); per-family
+                # map (r3) — each metric family has its own bin edges
                 self.store.set_meta(
-                    stage, hist_lo=lo, hist_hi=hi, hist_n_bins=n_bins
+                    stage,
+                    hist_params={m: list(p) for m, p in self.hist_params.items()},
                 )
             if until == stage:
                 break
         return out
 
     def _hist_states(self, tier: str) -> DataFrame:
-        lo, hi, n_bins = self.hist_params
+        from fischer_spark.operators.histogram import hist_states_families
+
         pts = self._series_points()
-        if "key_id" in pts.columns:
-            # key-encoded points carry no metric column: select the
-            # page_size keys via a broadcast semi-join on the persisted dim
-            dim = self.store.read("key_dim", self.completed().get("key_dim"))
-            page_keys = dim.filter(F.col("metric") == "page_size").select("key_id")
-            pts = pts.join(F.broadcast(page_keys), "key_id", "left_semi")
-        else:
-            pts = pts.filter(F.col("metric") == "page_size")
-        return hist_states(pts, tier, lo, hi, n_bins)
+        dim = (
+            self.store.read("key_dim", self.completed().get("key_dim"))
+            if "key_id" in pts.columns
+            else None
+        )
+        return hist_states_families(pts, tier, self.hist_params, key_dim=dim)
 
     def _gapfilled_series(self) -> DataFrame:
         """North-star ordering: the 1m bucket spine is gap-filled

@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
         "linear-bin histogram states over the page_size series)",
     )
     ap.add_argument(
+        "--hist-family",
+        action="append",
+        default=None,
+        metavar="METRIC:LO:HI:BINS",
+        help="additional percentile family with its own bin edges, e.g. "
+        "crawl_rate:0:1000:250 (repeatable; implies --hist; page_size keeps "
+        "its default edges unless respecified)",
+    )
+    ap.add_argument(
         "--refresh",
         action="store_true",
         help="incremental mode: treat the input as LATE/NEW pages only and "
@@ -107,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     store = ParquetManifestStore(spark, args.warehouse)
 
     if args.refresh:
-        from fischer_spark.operators.histogram import refresh_hist_cascade
+        from fischer_spark.operators.histogram import refresh_hist_cascade_families
         from fischer_spark.operators.rollup import refresh_cascade
         from fischer_spark.operators.series import (
             build_series,
@@ -162,32 +171,37 @@ def main(argv: list[str] | None = None) -> int:
             # tiers or query_range_hist serves stale percentiles that
             # disagree with query_range means over the same window
             meta = store.meta("hist_1h")
-            if "hist_lo" not in meta:
+            pmap = meta.get("hist_params")
+            if pmap is None and "hist_lo" in meta:  # pre-r3 single-family meta
+                pmap = {"page_size": [meta["hist_lo"], meta["hist_hi"], meta["hist_n_bins"]]}
+            if pmap is None:
                 raise SystemExit(
                     "store has hist tiers but no persisted binning params — "
                     "rebuild them with the current pipeline (which persists "
                     "params) before refreshing"
                 )
-            lo, hi, n_bins = meta["hist_lo"], meta["hist_hi"], meta["hist_n_bins"]
-            if args.encode_keys:
-                dim = store.read("key_dim")
-                page_keys = dim.filter(F.col("metric") == "page_size").select("key_id")
-                hist_pts = late_points.join(
-                    F.broadcast(page_keys), "key_id", "left_semi"
-                )
-            else:
-                hist_pts = late_points.filter(F.col("metric") == "page_size")
-            hsnaps = refresh_hist_cascade(store, hist_pts, lo, hi, n_bins)
+            hsnaps = refresh_hist_cascade_families(
+                store,
+                late_points,
+                {m: tuple(p) for m, p in pmap.items()},
+                key_dim=store.read("key_dim") if args.encode_keys else None,
+            )
             for tier, snap in hsnaps.items():
                 print(f"  refreshed hist_{tier}: snapshot={snap}")
         print(f"run {args.run_id}: refresh complete")
         spark.stop()
         return 0
 
+    hist_params = None
+    if args.hist_family:
+        hist_params = {"page_size": (0.0, float(1 << 20), 256)}
+        for spec in args.hist_family:
+            m, lo, hi, nb = spec.split(":")
+            hist_params[m] = (float(lo), float(hi), int(nb))
     pipe = RollupPipeline(
         spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
-        hist=args.hist,
+        hist=args.hist or bool(args.hist_family), hist_params=hist_params,
     )
     snaps = pipe.run(pages, until=args.until)
     if args.encode_keys and "key_dim" in snaps:

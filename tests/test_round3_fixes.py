@@ -110,15 +110,47 @@ def test_hist_params_required_without_meta(spark, tmp_path):
 
 
 def test_pipeline_persists_hist_params(spark, tmp_path, pages):
+    """Per-family binning params land in table meta; query_range_hist
+    resolves them per metric and refuses ambiguous multi-family reads."""
+    from fischer_spark.api import query_range_hist
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+    from fischer_spark.operators.series import build_series
     from fischer_spark.plans.pipeline import RollupPipeline
     from fischer_spark.sources.storage import ParquetManifestStore
+    from tests.conftest import assert_df_equal
 
     store = ParquetManifestStore(spark, str(tmp_path / "wh"))
-    pipe = RollupPipeline(spark, store, "r3meta", hist=True)
-    pipe.run(pages.select("domain", "warc_ts", F.octet_length("html").alias("page_bytes"), "lang"), until="hist_1d")
+    cr_params = (0.0, 100.0, 50)
+    pipe = RollupPipeline(
+        spark, store, "r3meta", hist=True,
+        hist_params={"page_size": (0.0, float(1 << 20), 256), "crawl_rate": cr_params},
+    )
+    narrow = pages.select(
+        "domain", "warc_ts", F.octet_length("html").alias("page_bytes"), "lang"
+    )
+    pipe.run(narrow, until="hist_1d")
     for t in ("hist_1h", "hist_1d"):
-        m = store.meta(t)
-        assert (m["hist_lo"], m["hist_hi"], m["hist_n_bins"]) == (0.0, float(1 << 20), 256)
+        m = store.meta(t)["hist_params"]
+        assert m["page_size"] == [0.0, float(1 << 20), 256]
+        assert m["crawl_rate"] == [0.0, 100.0, 50]
+
+    # per-family read: crawl_rate p95 from the store == direct computation
+    # with the crawl_rate edges over the raw series
+    got = query_range_hist(store, "crawl_rate", "2000-01-01", "2100-01-01", 3600, 0.95)
+    cr = build_series(narrow, ("crawl_rate",))
+    want = hist_quantile(hist_states(cr, "1h", *cr_params), 0.95, *cr_params)
+    assert_df_equal(
+        got.select("domain", "metric", "tag", "bucket_ts", "n", "quantile"),
+        want.withColumn("metric", F.lit("crawl_rate")).withColumn(
+            "tag", F.lit(None).cast("string")
+        ).select("domain", "metric", "tag", "bucket_ts", "n", "quantile"),
+    )
+    # ambiguous read over a multi-family table is refused
+    with pytest.raises(ValueError, match="families"):
+        query_range_hist(store, None, "2000-01-01", "2100-01-01", 3600, 0.95)
+    # and an unknown family is refused rather than served with wrong edges
+    with pytest.raises(ValueError, match="not histogrammed"):
+        query_range_hist(store, "lang_mix", "2000-01-01", "2100-01-01", 3600, 0.95)
 
 
 # --------------------------------------------------------------------------
@@ -194,7 +226,7 @@ def test_refresh_cli_hist_and_key_dim(tmp_path):
     query_range serves the new keys with non-NULL labels."""
     wh = str(tmp_path / "wh")
     base = ["--warehouse", wh, "--run-id", "r3", "--encode-keys", "--hist",
-            "--impl", "fixed64"]
+            "--hist-family", "crawl_rate:0:100:50", "--impl", "fixed64"]
     p1 = _run_job(["--synth-pages", "2000", "--seed", "1", *base])
     assert p1.returncode == 0, p1.stderr[-3000:]
 
@@ -221,17 +253,23 @@ def test_refresh_cli_hist_and_key_dim(tmp_path):
         .count()
     )
     assert orphans == 0
-    # hist absorbed the late page_size points in lockstep with the rollup
-    # tiers: total hist mass == rollup cnt over the page_size keys (pages
-    # with NULL html contribute to neither — F.count(value) semantics)
+    # hist absorbed the late points in lockstep with the rollup tiers,
+    # PER FAMILY: for each histogrammed family, total hist mass == rollup
+    # cnt over that family's keys (pages with NULL html contribute to
+    # neither page_size surface — F.count(value) semantics)
     hist_after = store.read("hist_1h").agg(F.sum("bin_cnt")).collect()[0][0]
     assert hist_after > hist_before
-    page_keys = dim.filter(F.col("metric") == "page_size").select("key_id")
-    rollup_page_cnt = (
-        store.read("rollup_1m").join(page_keys, "key_id", "left_semi")
-        .agg(F.sum("cnt")).collect()[0][0]
-    )
-    assert hist_after == rollup_page_cnt
+    for fam in ("page_size", "crawl_rate"):
+        fam_keys = dim.filter(F.col("metric") == fam).select("key_id")
+        fam_hist = (
+            store.read("hist_1h").join(fam_keys, "key_id", "left_semi")
+            .agg(F.sum("bin_cnt")).collect()[0][0]
+        )
+        fam_cnt = (
+            store.read("rollup_1m").join(fam_keys, "key_id", "left_semi")
+            .agg(F.sum("cnt")).collect()[0][0]
+        )
+        assert fam_hist == fam_cnt, (fam, fam_hist, fam_cnt)
     assert store.read("rollup_1m").agg(F.sum("cnt")).collect()[0][0] > cnt_before
     # hist_1h and hist_1d agree on total mass after refresh
     assert (

@@ -22,6 +22,9 @@ from fischer_spark.operators.dedup import (
     simhash64,
     simhash_candidates,
 )
+from fischer_spark.operators.cluster import canonical_assignments, connected_components
+from fischer_spark.operators.counters import counter_increase, counter_rate, gauge_delta
+from fischer_spark.operators.downsample import lttb, lttb_downsample
 from fischer_spark.operators.gapfill import bucket_spine, gapfill_locf, gapfill_linear
 from fischer_spark.operators.histogram import (
     hist_merge,
@@ -56,6 +59,13 @@ __all__ = [
     "minhash_candidates",
     "simhash64",
     "simhash_candidates",
+    "canonical_assignments",
+    "connected_components",
+    "counter_increase",
+    "counter_rate",
+    "gauge_delta",
+    "lttb",
+    "lttb_downsample",
     "bucket_spine",
     "gapfill_locf",
     "gapfill_linear",

@@ -1,0 +1,91 @@
+"""Counter semantics: reset-aware increase / rate / delta per series.
+
+Monitoring counters (requests served, bytes crawled) are cumulative and
+reset to zero on process restart; the useful signal is the per-interval
+INCREASE, which a plain diff gets wrong at every reset (a huge negative
+spike).  These follow the public Prometheus counter semantics: a sample
+lower than its predecessor means the counter reset, and the increase
+since the previous sample is the raw value itself (reset assumed to
+zero).  ``delta`` is the gauge form — plain signed difference, no reset
+logic.
+
+Unlike PromQL's range-vector ``increase()`` there is no window-boundary
+extrapolation: these are exact per-adjacent-sample transforms whose sum
+over any window IS the window increase — the right primitive for a
+batch engine (extrapolation is a presentation-layer estimate, not a
+stored fact).
+
+Scale shape: one window function per series key — a single hash
+Exchange on the key + an in-partition sort, the same shuffle shape as
+the z-score detector (BENCH/PLANS.md); no Python, no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["counter_increase", "counter_rate", "gauge_delta"]
+
+
+def _w(key_cols: list[str], order_cols: list[str]) -> Window:
+    return Window.partitionBy(*key_cols).orderBy(*order_cols)
+
+
+def counter_increase(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str = "value",
+    out_col: str = "increase",
+) -> DataFrame:
+    """Reset-aware per-sample increase; NULL for each series' first sample."""
+    prev = F.lag(val_col).over(_w(key_cols, order_cols))
+    inc = (
+        F.when(prev.isNull(), F.lit(None))
+        .when(F.col(val_col) >= prev, F.col(val_col) - prev)
+        .otherwise(F.col(val_col))  # reset: counter restarted from 0
+    )
+    return df.withColumn(out_col, inc)
+
+
+def counter_rate(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+    inc_col: str = "increase",
+    out_col: str = "rate",
+) -> DataFrame:
+    """increase / elapsed-seconds per sample; NULL on first sample and on
+    zero/negative elapsed time (duplicate timestamps).  Elapsed time is
+    microsecond-exact (unix_timestamp would truncate sub-second sample
+    spacing to whole seconds); NTZ timestamps are cast through per the
+    repo-wide convention (functions/time.py)."""
+    from fischer_spark.functions.time import is_ntz
+
+    w = _w(key_cols, order_cols)
+    out = counter_increase(df, key_cols, order_cols, val_col, inc_col)
+    c = F.col(ts_col).cast("timestamp") if is_ntz(df, ts_col) else F.col(ts_col)
+    us = F.unix_micros(c)
+    dt_us = us - F.lag(us).over(w)
+    return out.withColumn(
+        out_col,
+        F.when(
+            dt_us > 0,
+            F.col(inc_col) / (dt_us.cast("double") / F.lit(1000000.0)),
+        ).otherwise(F.lit(None)),
+    )
+
+
+def gauge_delta(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str = "value",
+    out_col: str = "delta",
+) -> DataFrame:
+    """Plain signed per-sample difference (gauges; no reset semantics)."""
+    prev = F.lag(val_col).over(_w(key_cols, order_cols))
+    return df.withColumn(out_col, F.col(val_col) - prev)

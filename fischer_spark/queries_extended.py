@@ -356,3 +356,86 @@ def hist_p95_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
     h1d = hist_merge(h1h, "1d")
     return hist_quantile(h1d, 0.95, _H_LO, _H_HI, _H_BINS)
+
+
+# --------------------------------------------------------------------------
+# counter semantics: reset-aware increase/rate (O-counter).  A deterministic
+# cumulative counter WITH genuine resets is synthesized from the events
+# fixture (integer running sum mod 1000 per user), then the operator must
+# recover per-sample increase/rate across the reset boundaries.  Prometheus
+# reset rule (public semantics): sample < predecessor ⇒ reset ⇒ increase =
+# the raw sample.
+# --------------------------------------------------------------------------
+
+@register(
+    "counter_rate_events",
+    """
+  WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(floor(abs(value) * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) % 1000 AS counter
+    FROM events
+  ),
+  l AS (
+    SELECT event_id, user_id, ts, counter,
+           lag(counter) OVER w AS prev,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  SELECT event_id, user_id, ts, counter,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN counter >= prev THEN counter - prev
+              ELSE counter END AS increase,
+         CASE WHEN prev IS NULL OR dt_us <= 0 THEN NULL
+              ELSE CAST(CASE WHEN counter >= prev THEN counter - prev
+                             ELSE counter END AS DOUBLE)
+                   / (CAST(dt_us AS DOUBLE) / 1000000.0) END AS rate
+  FROM l
+""",
+)
+def counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase + rate (operators/counters.py) over a
+    synthesized mod-1000 cumulative counter: exact integer arithmetic up
+    to the final division, so the oracle comparison is bit-deterministic.
+    One window shuffle per series key — the z-score Exchange shape."""
+    from fischer_spark.operators.counters import counter_rate
+
+    d = scan_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = F.floor(F.abs(F.col("value")) * 100).cast("long")
+    c = d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(step).over(w) % 1000).alias("counter"),
+    )
+    out = counter_rate(
+        c, ["user_id"], ["ts", "event_id"], ts_col="ts", val_col="counter"
+    )
+    return out.select("event_id", "user_id", "ts", "counter", "increase", "rate")
+
+
+@register("lttb_events_1m_50")
+def lttb_events_1m_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsample (operators/downsample.py) of the
+    per-minute mean-value series to 50 points per event_type.  Rows-only
+    by design: each bucket's pick depends on the previous bucket's pick,
+    so the algorithm is not SQL-expressible; the kernel is pinned
+    index-for-index against a naive reference implementation in
+    tests/test_downsample.py."""
+    from fischer_spark.operators.downsample import lttb_downsample
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = (
+        d.groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        ).agg(F.avg("value").alias("value"))
+    )
+    return lttb_downsample(
+        series, ["event_type"], ts_col="bucket_ts", val_col="value", n_out=50
+    )

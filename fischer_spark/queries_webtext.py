@@ -712,3 +712,158 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("probe_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup clusters: pairs → connected components → canonical survivor
+# (O-dedup-cc).  Pairs only chain into clusters through connectivity
+# (A~B, B~C ⇒ {A,B,C} one cluster); the scalable star-contraction lives
+# in operators/cluster.py, and THIS oracle-gated form proves it against
+# a DuckDB recursive-CTE reachability fixpoint on the same edge set:
+# exact-duplicate edges (doc → min doc of its md5(text) group) unioned
+# with LSH-verified near-dup edges (the green minhash_band_candidates
+# parameterization, token-set jaccard ≥ 0.5).
+# --------------------------------------------------------------------------
+
+_CC_JACCARD = 0.5
+
+_DEDUP_CLUSTERS_SQL = f"""
+  WITH RECURSIVE grp AS (
+    SELECT md5(text) AS h, min(doc_id) AS mn FROM documents GROUP BY 1
+  ),
+  exact AS (
+    SELECT d.doc_id AS doc_a, g.mn AS doc_b
+    FROM documents d JOIN grp g ON md5(d.text) = g.h
+    WHERE d.doc_id > g.mn
+  ),
+  sig AS (
+    SELECT doc_id,
+         {_minhash_sql_cols(_TOK_DUCK)}
+    FROM documents WHERE trim(text) <> ''
+  ),
+  bands AS (
+    SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
+    UNION ALL
+    SELECT doc_id, md5(mh2 || mh3) AS band FROM sig
+  ),
+  b0 AS (SELECT DISTINCT doc_id, band FROM bands),
+  b AS (
+    SELECT doc_id, band FROM b0
+    QUALIFY count(*) OVER (PARTITION BY band) <= {LSH_MAX_BUCKET_DOCS}
+  ),
+  cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  ),
+  tok AS (
+    SELECT doc_id, list_distinct({_TOK_DUCK}) AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  near AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.doc_a
+    JOIN tok tb ON tb.doc_id = c.doc_b
+    WHERE CAST(length(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / CAST(length(ta.toks) + length(tb.toks)
+                 - length(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          >= {_CC_JACCARD}
+  ),
+  e AS (SELECT doc_a, doc_b FROM exact UNION SELECT doc_a, doc_b FROM near),
+  und AS (SELECT doc_a AS a, doc_b AS b FROM e
+          UNION SELECT doc_b, doc_a FROM e),
+  reach(node, comp) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+  ),
+  lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+  SELECT d.doc_id,
+         COALESCE(l.comp, d.doc_id) AS cluster_id,
+         CAST(d.doc_id = COALESCE(l.comp, d.doc_id) AS INT) AS keep
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+"""
+
+
+@register("dedup_clusters_documents", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc labeled with its duplicate-cluster id (min doc_id of the
+    connected component over exact + verified near-dup edges; singletons
+    are their own cluster) and keep=1 for the canonical survivor.
+
+    Scale shape: edge construction is the already-bounded LSH pipeline;
+    star contraction shuffles O(|E|) ids per round for O(log n) rounds
+    (operators/cluster.py); the corpus itself is touched by exactly one
+    left join against the tiny assignment table.  Plan construction
+    triggers actions (the contraction is iterative with a convergence
+    checksum per round) — inherent to any fixpoint algorithm."""
+    from fischer_spark.operators.cluster import canonical_assignments
+
+    d = scan_testdata(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    grp = d.groupBy(h.alias("h")).agg(F.min("doc_id").alias("mn"))
+    exact = (
+        d.select("doc_id", h.alias("h"))
+        .join(grp, "h")
+        .where(F.col("doc_id") > F.col("mn"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("mn").alias("doc_b"))
+    )
+    cand = _band_candidates_spark(
+        _minhash_sigs_spark(spark, sf_dir, _N_HASHES), _N_HASHES, 2
+    ).select("doc_a", "doc_b")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.array_distinct(F.expr(_TOK_SPARK)).alias("toks"))
+    )
+    pairs = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union_n = F.size("ta") + F.size("tb") - inter
+    near = pairs.where(
+        inter.cast("double") / union_n.cast("double") >= _CC_JACCARD
+    ).select("doc_a", "doc_b")
+    return canonical_assignments(d, exact.union(near))
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling (O-sample): per-stratum top-k by a
+# content-independent hash order — the reproducible "random" sample every
+# training-data pipeline needs (df.sample() is seed+partitioning dependent
+# and non-portable across engines; a hash rank is bit-reproducible
+# anywhere, supports exact per-stratum quotas, and is stable under corpus
+# repartitioning/appends of later doc_ids).
+# --------------------------------------------------------------------------
+
+@register(
+    "stratified_sample_documents",
+    """
+  SELECT doc_id, lang, rn FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 20
+""",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(20, |stratum|) docs per lang, chosen by md5(doc_id)
+    rank: one window shuffle on the stratum key, no sort of the corpus
+    beyond it.  At 100 TB the same shape holds — the shuffle carries
+    (doc_id, lang, hash) only, never text."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )

@@ -1,0 +1,57 @@
+"""Reset-aware counter increase/rate/delta (operators/counters.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from fischer_spark.operators.counters import (
+    counter_increase,
+    counter_rate,
+    gauge_delta,
+)
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _fixture(spark):
+    rows = [
+        # key, ts, value — includes a reset (20 -> 3) and a flat sample
+        ("a", _ts(0), 10.0),
+        ("a", _ts(10), 20.0),
+        ("a", _ts(20), 3.0),   # reset: increase = 3
+        ("a", _ts(25), 3.0),   # flat: increase = 0
+        ("b", _ts(0), 5.0),
+        ("b", _ts(0), 7.0),    # duplicate ts: rate must be NULL, not inf
+    ]
+    return spark.createDataFrame(rows, "k: string, ts: timestamp, value: double")
+
+
+def _by_key(rows, k):
+    return [r for r in rows if r["k"] == k]
+
+
+def test_counter_increase_resets(spark):
+    out = counter_increase(_fixture(spark), ["k"], ["ts", "value"]).collect()
+    a = sorted(_by_key(out, "a"), key=lambda r: r["ts"])
+    assert a[0]["increase"] is None
+    assert a[1]["increase"] == 10.0
+    assert a[2]["increase"] == 3.0  # reset-aware, NOT -17
+    assert a[3]["increase"] == 0.0
+
+
+def test_counter_rate_and_zero_dt(spark):
+    out = counter_rate(_fixture(spark), ["k"], ["ts", "value"]).collect()
+    a = sorted(_by_key(out, "a"), key=lambda r: r["ts"])
+    assert a[0]["rate"] is None
+    assert a[1]["rate"] == 1.0   # +10 over 10 s
+    assert a[2]["rate"] == 0.3   # reset: 3 over 10 s
+    b = sorted(_by_key(out, "b"), key=lambda r: r["value"])
+    assert b[1]["rate"] is None  # dt == 0 guarded
+
+
+def test_gauge_delta_signed(spark):
+    out = gauge_delta(_fixture(spark), ["k"], ["ts", "value"]).collect()
+    a = sorted(_by_key(out, "a"), key=lambda r: r["ts"])
+    assert a[2]["delta"] == -17.0  # gauges keep the sign

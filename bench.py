@@ -74,6 +74,8 @@ def main() -> None:
         "hist_p95_1d_events",
         "exact_dedup_documents",
         "minhash_band_candidates",
+        "dedup_clusters_documents",
+        "counter_rate_events",
         "contamination_check_documents",
         "ngram_jaccard_neighbors",
         "quality_score_documents",

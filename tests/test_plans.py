@@ -143,3 +143,29 @@ def test_ann_plan_construction_triggers_no_action(spark):
     # collect(), not count(): count() correctly prunes the unused UDF column
     with pytest.raises(Exception, match="plan was executed|RuntimeError|PythonException"):
         b.collect()
+
+
+def test_counter_rate_single_exchange(spark):
+    """counter_rate_events: cumsum + two lag windows all share ONE
+    hash Exchange on the series key and one Sort — adding the rate
+    column must never re-shuffle or re-sort (the z-score shape)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["counter_rate_events"](spark, SF))
+    assert p.count(") Exchange") == 1 and "hashpartitioning(user_id" in p
+    assert p.count(") Sort") == 1
+    assert p.count(") Window") >= 2
+
+
+def test_stratified_sample_mapside_limit(spark):
+    """stratified_sample_documents: the rank filter must push a PARTIAL
+    WindowGroupLimit BELOW the Exchange, so at most k rows per stratum
+    per input partition ever cross the wire — the property that makes a
+    hash-rank sample safe at corpus scale."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["stratified_sample_documents"](spark, SF))
+    assert p.count(") Exchange") == 1 and "hashpartitioning(lang" in p
+    assert "WindowGroupLimit" in p and "Partial" in p
+    # Partial limit sits below the Exchange in the tree rendering
+    assert p.index("Partial") > p.index("Exchange (")

@@ -110,6 +110,40 @@ class Series:
             raise ValueError(".quantile() must follow .histogram(lo, hi, n_bins)")
         return Series(hist_quantile(self.df, q, *params), self.tier)
 
+    def downsample(self, n_out: int = 1000) -> "Series":
+        """LTTB shape-preserving reduction to at most n_out points per
+        series key (operators/downsample.py) — the serving step between
+        a tier read and a dashboard.  Keeps first/last points and
+        spike extrema; one Exchange on the series key."""
+        from fischer_spark.operators.downsample import lttb_downsample
+
+        return Series(
+            lttb_downsample(
+                self.df,
+                ["domain", "metric", "tag"],
+                ts_col="bucket_ts",
+                val_col="value",
+                n_out=n_out,
+            ),
+            self.tier,
+        )
+
+    def counter_rate(self) -> "Series":
+        """Reset-aware per-sample rate (operators/counters.py) for series
+        whose value is a cumulative counter."""
+        from fischer_spark.operators.counters import counter_rate
+
+        return Series(
+            counter_rate(
+                self.df,
+                ["domain", "metric", "tag"],
+                ["bucket_ts"],
+                ts_col="bucket_ts",
+                val_col="value",
+            ),
+            self.tier,
+        )
+
     # -- introspection ------------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

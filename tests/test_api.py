@@ -188,3 +188,33 @@ def test_series_histogram_quantile_fluent(spark):
 
     with _pytest.raises(ValueError, match="must follow"):
         Series.from_points(pts).quantile(0.5)
+
+
+def test_series_downsample_fluent(pages):
+    from fischer_spark.api import Series
+
+    s = Series.from_pages(pages, ("crawl_rate",)).rollup("1h")
+    full = s.df.groupBy("domain", "metric", "tag").count().collect()
+    out = s.downsample(n_out=10).df
+    counts = {
+        (r["domain"], r["metric"], r["tag"]): r["count"]
+        for r in out.groupBy("domain", "metric", "tag").count().collect()
+    }
+    for r in full:
+        key = (r["domain"], r["metric"], r["tag"])
+        assert counts[key] == min(10, r["count"])
+    # schema is unchanged by downsampling
+    assert out.columns == s.df.columns
+
+
+def test_series_counter_rate_fluent(pages):
+    from fischer_spark.api import Series
+
+    s = Series.from_pages(pages, ("crawl_rate",)).rollup("1h").counter_rate()
+    row = (
+        s.df.filter(F.col("increase").isNotNull())
+        .select("increase", "rate")
+        .first()
+    )
+    # hourly buckets: rate must be increase / 3600 exactly
+    assert row is not None and abs(row["rate"] - row["increase"] / 3600.0) < 1e-12

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["counter_increase", "counter_rate", "gauge_delta"]
+__all__ = ["change_flags", "counter_increase", "counter_rate", "gauge_delta"]
 
 
 def _w(key_cols: list[str], order_cols: list[str]) -> Window:
@@ -77,6 +77,29 @@ def counter_rate(
             F.col(inc_col) / (dt_us.cast("double") / F.lit(1000000.0)),
         ).otherwise(F.lit(None)),
     )
+
+
+def change_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-sample `changed` / `reset` integer flags (PromQL ``changes()``
+    / ``resets()`` numerators): changed = value differs from the series
+    predecessor, reset = value dropped below it.  Both 0 on each
+    series' first sample (no predecessor — nothing changed yet), so a
+    windowed SUM over the flags IS the changes/resets count for any
+    window, including ones that cross the sample the window started on.
+    Same single-Exchange window shape as the other counter transforms."""
+    prev = F.lag(val_col).over(_w(key_cols, order_cols))
+    changed = F.when(
+        prev.isNotNull() & (F.col(val_col) != prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    reset = F.when(
+        prev.isNotNull() & (F.col(val_col) < prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("changed", changed).withColumn("reset", reset)
 
 
 def gauge_delta(

@@ -439,3 +439,197 @@ def lttb_events_1m_50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(
         series, ["event_type"], ts_col="bucket_ts", val_col="value", n_out=50
     )
+
+
+# --------------------------------------------------------------------------
+# O58 — deriv / predict_linear (operators/trend.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "deriv_predict_events",
+    """
+  WITH s AS (
+    SELECT event_type,
+           date_trunc('day', ts) AS bucket_ts,
+           epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS x,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+  ),
+  g AS (
+    SELECT event_type, bucket_ts,
+           count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+    FROM s GROUP BY 1, 2
+  )
+  SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n,
+         CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN NULL
+              ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) * 10000.0 END AS slope,
+         CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN NULL
+              ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                   + (CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE) * 10000.0)
+                     * (90000.0 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / 1000000.0) END AS predict
+  FROM g
+""",
+)
+def deriv_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style deriv()/predict_linear(): per-series per-day least
+    squares slope (value units per second) and the fitted value one hour
+    past the day bucket (operators/trend.py `linear_trend_exact`).  All
+    five regression states accumulate exactly (integer µs × integer
+    cents, decimal on the Spark side, HUGEINT in DuckDB); the final
+    slope/predict doubles share one expression shape, so the hash gate
+    is bit-deterministic.  One partial-aggregated groupBy — a single
+    Exchange, no window."""
+    from fischer_spark.operators.trend import linear_trend_exact
+
+    d = scan_testdata(spark, sf_dir, "events")
+    return linear_trend_exact(
+        d,
+        ["event_type"],
+        F.date_trunc("day", F.col("ts")),
+        ts_col="ts",
+        val_col="value",
+        predict_at_s=90000.0,
+    )
+
+
+# --------------------------------------------------------------------------
+# O59 — changes() / resets() counts (operators/counters.py change_flags)
+# --------------------------------------------------------------------------
+
+@register(
+    "counter_resets_changes_events",
+    """
+  WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(floor(abs(value) * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) % 1000 AS counter
+    FROM events
+  ),
+  l AS (
+    SELECT user_id, date_trunc('day', ts) AS bucket_ts, counter,
+           lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM c
+  )
+  SELECT user_id, bucket_ts,
+         count(*) AS n,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND counter <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resets
+  FROM l GROUP BY 1, 2
+""",
+)
+def counter_resets_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes()/resets() as windowed sums over per-sample flags
+    (operators/counters.py `change_flags`) on the same synthesized
+    mod-1000 counter as counter_rate_events.  Pure integer arithmetic —
+    trivially hash-deterministic.  The flag window and the day groupBy
+    share the series-key Exchange."""
+    from fischer_spark.operators.counters import change_flags
+
+    d = scan_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = F.floor(F.abs(F.col("value")) * 100).cast("long")
+    c = d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(step).over(w) % 1000).alias("counter"),
+    )
+    flagged = change_flags(c, ["user_id"], ["ts", "event_id"], val_col="counter")
+    return (
+        flagged.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("changed").cast("long").alias("changes"),
+            F.sum("reset").cast("long").alias("resets"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O60 — exact windowed quantile (rank-based, deterministic interpolation)
+# --------------------------------------------------------------------------
+
+@register(
+    "quantile_exact_1h_events",
+    """
+  WITH r AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+             AS cnt
+    FROM events
+  )
+  SELECT event_type, bucket_ts, CAST(max(cnt) AS BIGINT) AS n,
+         max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN value END)
+         + (max(CASE WHEN rn = CAST(ceil(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN value END)
+            - max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN value END))
+           * (CAST(max(cnt) - 1 AS DOUBLE) * 0.5
+              - floor(CAST(max(cnt) - 1 AS DOUBLE) * 0.5)) AS p50,
+         max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN value END)
+         + (max(CASE WHEN rn = CAST(ceil(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN value END)
+            - max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN value END))
+           * (CAST(max(cnt) - 1 AS DOUBLE) * 0.95
+              - floor(CAST(max(cnt) - 1 AS DOUBLE) * 0.95)) AS p95
+  FROM r GROUP BY 1, 2
+""",
+)
+def quantile_exact_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact windowed quantile (p50/p95 per series-hour) with rank-based
+    linear interpolation spelled out identically in both engines —
+    built-in percentile/quantile_cont aggregates interpolate with
+    engine-specific expression shapes, so this is the hash-safe exact
+    complement to the approximate histogram read (hist_p95_1d_events).
+    One Exchange + one in-partition sort (rank and count windows share
+    the partition); the conditional aggregation touches each row once.
+    At the 100 TB design point the histogram tiers remain the serving
+    path — this is the exact-verification form."""
+    d = scan_testdata(spark, sf_dir, "events")
+    b = F.date_trunc("hour", F.col("ts"))
+    base = d.select("event_type", b.alias("bucket_ts"), "value")
+    pw = Window.partitionBy("event_type", "bucket_ts")
+    r = base.select(
+        "event_type",
+        "bucket_ts",
+        "value",
+        F.row_number().over(pw.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(pw).alias("cnt"),
+    )
+
+    def _q(q: float):
+        k = (F.col("cnt") - 1).cast("double") * F.lit(q)
+        lo = F.max(
+            F.when(
+                F.col("rn") == F.floor(k).cast("long") + 1, F.col("value")
+            )
+        )
+        hi = F.max(
+            F.when(
+                F.col("rn") == F.ceil(k).cast("long") + 1, F.col("value")
+            )
+        )
+        kk = (F.max("cnt") - 1).cast("double") * F.lit(q)
+        return lo + (hi - lo) * (kk - F.floor(kk))
+
+    return r.groupBy("event_type", "bucket_ts").agg(
+        F.max("cnt").cast("long").alias("n"),
+        _q(0.5).alias("p50"),
+        _q(0.95).alias("p95"),
+    )

@@ -169,3 +169,28 @@ def test_stratified_sample_mapside_limit(spark):
     assert "WindowGroupLimit" in p and "Partial" in p
     # Partial limit sits below the Exchange in the tree rendering
     assert p.index("Partial") > p.index("Exchange (")
+
+
+def test_deriv_predict_single_exchange_partial_agg(spark):
+    """deriv_predict_events: all five regression states partial-aggregate
+    map-side — exactly one Exchange carrying combined states, never rows."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["deriv_predict_events"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "partial_sum" in p and "partial_count" in p
+    # partial agg sits below the Exchange in the tree rendering
+    assert p.index("partial_sum") > p.index("Exchange (")
+
+
+def test_quantile_exact_no_second_exchange(spark):
+    """quantile_exact_1h_events: rank + count windows and the final
+    conditional aggregation all share ONE Exchange + ONE Sort (the agg
+    keys equal the window partition keys, so Catalyst reuses the
+    partitioning)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["quantile_exact_1h_events"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert p.count(") Sort") == 1
+    assert p.count(") Window") == 2

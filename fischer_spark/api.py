@@ -128,6 +128,39 @@ class Series:
             self.tier,
         )
 
+    def ewma(self, alpha: float = 0.3) -> "Series":
+        """EWMA smoothing per series (operators/smooth.py); adds a
+        `smoothed` column."""
+        from fischer_spark.operators.smooth import ewma
+
+        return Series(
+            ewma(
+                self.df,
+                ["domain", "metric", "tag"],
+                ts_col="bucket_ts",
+                val_col="value",
+                alpha=alpha,
+            ),
+            self.tier,
+        )
+
+    def holt(self, sf: float = 0.3, tf: float = 0.1) -> "Series":
+        """Holt double exponential smoothing (PromQL holt_winters);
+        adds `smoothed` (level) and `trend` columns."""
+        from fischer_spark.operators.smooth import holt
+
+        return Series(
+            holt(
+                self.df,
+                ["domain", "metric", "tag"],
+                ts_col="bucket_ts",
+                val_col="value",
+                sf=sf,
+                tf=tf,
+            ),
+            self.tier,
+        )
+
     def counter_rate(self) -> "Series":
         """Reset-aware per-sample rate (operators/counters.py) for series
         whose value is a cumulative counter."""

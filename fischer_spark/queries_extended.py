@@ -633,3 +633,30 @@ def quantile_exact_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q(0.5).alias("p50"),
         _q(0.95).alias("p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# O61 — exponential smoothing (operators/smooth.py); rows-only by design:
+# each sample's state depends on its predecessor's, which SQL cannot
+# express without numerically explosive (1-alpha)^-i rescaling.  The
+# kernels are pinned against naive reference loops in tests/test_smooth.py.
+# --------------------------------------------------------------------------
+
+@register("holt_winters_events_1h")
+def holt_winters_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style holt_winters(0.3, 0.1) (double exponential smoothing)
+    over the per-hour mean-value series per event_type, plus the EWMA
+    baseline column.  Grouped Arrow UDFs — one Exchange on the series
+    key; sequential state stays inside the per-series numpy/pandas
+    kernel (operators/smooth.py scale note)."""
+    from fischer_spark.operators.smooth import ewma, holt
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.avg("value").alias("value"))
+    sm = holt(series, ["event_type"], sf=0.3, tf=0.1)
+    ew = ewma(series, ["event_type"], alpha=0.3).select(
+        "event_type", "bucket_ts", F.col("smoothed").alias("ewma")
+    )
+    return sm.join(ew, ["event_type", "bucket_ts"])

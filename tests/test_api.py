@@ -218,3 +218,13 @@ def test_series_counter_rate_fluent(pages):
     )
     # hourly buckets: rate must be increase / 3600 exactly
     assert row is not None and abs(row["rate"] - row["increase"] / 3600.0) < 1e-12
+
+
+def test_series_smoothing_fluent(pages):
+    from fischer_spark.api import Series
+
+    s = Series.from_pages(pages, ("crawl_rate",)).rollup("1h")
+    sm = s.ewma(alpha=0.5).df
+    assert "smoothed" in sm.columns and sm.count() == s.df.count()
+    hw = s.holt().df
+    assert {"smoothed", "trend"} <= set(hw.columns)

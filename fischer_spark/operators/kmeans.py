@@ -1,0 +1,178 @@
+"""Distributed k-means over embedding columns + SemDeDup-style
+semantic dedup (cluster, then near-dup within cluster).
+
+``kmeans_fit`` is an offline TRAINING job, not a lazy plan: like any
+`.fit()`, each Lloyd iteration runs one Spark action (assign + partial
+sums) and holds only the model state — k x dim centroids — on the
+driver.  The per-iteration reduce is the standard distributed k-means
+shape (partial sums per partition, tiny final combine):
+
+  - assign: one Arrow matmul per batch against the broadcast centroid
+    matrix (argmax dot == argmax cosine for unit centroids/vectors);
+  - update: mapInPandas emits <= k rows (cluster, sum_vec, n) PER
+    PARTITION — the only thing collected is n_partitions x k tiny
+    partial rows, never data rows, so the driver traffic is O(k * dim *
+    n_partitions) regardless of corpus size.
+
+Empty clusters keep their previous centroid (the public MLlib
+behavior).  Initial centroids are the k corpus vectors with the
+smallest xxhash64(id, seed) — deterministic across partitionings,
+no sampling action.
+
+``semantic_dedup`` composes the public SemDeDup recipe (Abbas et al.
+2023, arXiv:2303.09540): k-means-cluster the embeddings, compute
+pairwise cosine only WITHIN each cluster (bounded by ``max_cluster``
+exactly like the LSH hot-bucket guards), connect near-dup pairs with
+the O(log n) large-star/small-star connected components
+(operators/cluster.py), and keep the min-id representative per
+component.  All shuffles carry ids + cluster only; vectors join back
+once for the verify step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["kmeans_assign", "kmeans_fit", "semantic_dedup"]
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's algorithm on unit-normalized vectors (spherical k-means:
+    cosine assignment, mean + renormalize update).  Returns the k x dim
+    float64 centroid matrix.  Runs n_iter actions — a training job."""
+    src = df.select(id_col, vec_col)
+    init = (
+        src.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    centroids = _norm_rows(np.array([r[0] for r in init], dtype="float64"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sum_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    for _ in range(n_iter):
+        c = centroids  # capture current model in the closure
+
+        def _partials(batches, _c=c):
+            acc = np.zeros_like(_c)
+            cnt = np.zeros(len(_c), dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = _norm_rows(np.vstack(pdf[vec_col].to_numpy()).astype("float64"))
+                a = np.argmax(m @ _c.T, axis=1)
+                np.add.at(acc, a, m)
+                cnt += np.bincount(a, minlength=len(_c))
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype("int32"),
+                    "sum_vec": [acc[i] for i in nz],
+                    "n": cnt[nz],
+                }
+            )
+
+        parts = src.select(vec_col).mapInPandas(_partials, schema=out_schema).collect()
+        sums = np.zeros_like(centroids)
+        ns = np.zeros(k, dtype="int64")
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["sum_vec"])
+            ns[r["cluster"]] += r["n"]
+        nz = ns > 0
+        centroids = centroids.copy()
+        centroids[nz] = _norm_rows(sums[nz] / ns[nz, None])
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment — lazy, one Arrow matmul per
+    batch, model broadcast in the closure."""
+    c = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = _norm_rows(np.vstack(vecs.to_numpy()).astype("float64"))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    tau: float = 0.95,
+    n_iter: int = 5,
+    seed: int = 42,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup: (id, cluster, component, keep) for every corpus row.
+    keep=false rows are semantic near-duplicates (cosine >= tau to a
+    kept row, transitively) of the min-id survivor in their component.
+    Clusters larger than ``max_cluster`` are skipped for pairing (guard
+    against degenerate clusters, mirroring LSH_MAX_BUCKET_DOCS) — their
+    rows are all kept, loudly countable via cluster sizes."""
+    from fischer_spark.operators.cluster import connected_components
+    from fischer_spark.operators.dedup import _cosine
+
+    cents = kmeans_fit(corpus, vec_col, id_col, k=k, n_iter=n_iter, seed=seed)
+    assigned = kmeans_assign(corpus.select(id_col, vec_col), cents, vec_col)
+    ids = assigned.select(id_col, "cluster")
+
+    csize = ids.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+    small = ids.join(F.broadcast(csize.filter(F.col("_csz") <= max_cluster)), "cluster")
+    a = small.select(F.col("cluster"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("cluster"), F.col(id_col).alias("id_b"))
+    pairs_ids = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    edges = (
+        pairs_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(_cosine("va", "vb") >= F.lit(tau))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")  # (node, component)
+    out = ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        id_col,
+        "cluster",
+        component.alias("component"),
+        (F.col(id_col) == component).alias("keep"),
+    )

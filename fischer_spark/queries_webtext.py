@@ -867,3 +867,21 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
     )
+
+
+@register("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical k-means clusters the
+    embeddings (iterative training job — rows-only by design: Lloyd
+    iterations hold driver-side model state, not a SQL expression),
+    then within-cluster cosine >= tau pairs connect into components
+    (large-star/small-star) and the min-id representative survives.
+    Output: (vec_id, cluster, component, keep) for every corpus row.
+    Planted-duplicate recall + determinism across partitionings are
+    gated in tests/test_kmeans.py."""
+    from fischer_spark.operators.kmeans import semantic_dedup
+
+    emb = scan_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(
+        spark, emb, k=8, tau=0.97, n_iter=4, seed=42, max_cluster=10_000
+    )

@@ -1,0 +1,111 @@
+"""Spherical k-means + SemDeDup semantic dedup (operators/kmeans.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fischer_spark.operators.kmeans import kmeans_assign, kmeans_fit, semantic_dedup
+
+
+def _blob_df(spark, n_per=40, dim=16, seed=5, n_parts=None):
+    """Three well-separated unit-vector blobs around orthogonal axes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for b in range(3):
+        center = np.zeros(dim)
+        center[b] = 1.0
+        for i in range(n_per):
+            v = center + 0.05 * rng.standard_normal(dim)
+            v = v / np.linalg.norm(v)
+            rows.append((b * 1000 + i, [float(x) for x in v], b))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, blob: int")
+    return df.repartition(n_parts) if n_parts else df
+
+
+def _inertia(df, cents, spark):
+    rows = kmeans_assign(df, cents).collect()
+    tot = 0.0
+    for r in rows:
+        v = np.array(r["embedding"], dtype="float64")
+        v = v / np.linalg.norm(v)
+        tot += 1.0 - float(v @ cents[r["cluster"]])
+    return tot
+
+
+def test_kmeans_separates_blobs(spark):
+    df = _blob_df(spark)
+    cents = kmeans_fit(df, k=3, n_iter=5, seed=1)
+    assigned = kmeans_assign(df, cents).collect()
+    # every blob maps to exactly one cluster, bijectively
+    blob_to_cluster = {}
+    for r in assigned:
+        blob_to_cluster.setdefault(r["blob"], set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+    assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    df1 = _blob_df(spark, n_parts=2)
+    df2 = _blob_df(spark, n_parts=7)
+    c1 = kmeans_fit(df1, k=3, n_iter=3, seed=9)
+    c2 = kmeans_fit(df2, k=3, n_iter=3, seed=9)
+    # init is hash-ordered (partition-independent) and partial sums are
+    # float64 per-cluster adds of identical values — tolerance-equal
+    np.testing.assert_allclose(c1, c2, rtol=1e-9)
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    df = _blob_df(spark, seed=13)
+    prev = None
+    for it in (1, 2, 4):
+        cents = kmeans_fit(df, k=3, n_iter=it, seed=2)
+        cur = _inertia(df, cents, spark)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    df = _blob_df(spark, n_per=1)  # 3 rows
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        kmeans_fit(df, k=10)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    rng = np.random.default_rng(21)
+    dim = 16
+    rows = []
+    # 30 distinct docs in 3 blobs
+    for b in range(3):
+        center = np.zeros(dim)
+        center[b] = 1.0
+        for i in range(10):
+            v = center + 0.08 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((b * 100 + i, [float(x) for x in v]))
+    # plant near-exact duplicates of doc 0 and doc 105 (tiny jitter)
+    for base_id, dup_id in ((0, 9000), (105, 9001), (105, 9002)):
+        v = np.array(next(r[1] for r in rows if r[0] == base_id))
+        v = v + 1e-4 * rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((dup_id, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = semantic_dedup(spark, df, k=3, tau=0.99, n_iter=4, seed=3).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 33
+    # duplicates dropped, originals kept (min-id survivor)
+    assert by_id[0]["keep"] and not by_id[9000]["keep"]
+    assert by_id[105]["keep"] and not by_id[9001]["keep"] and not by_id[9002]["keep"]
+    assert by_id[9001]["component"] == 105 and by_id[9002]["component"] == 105
+    # all non-planted docs survive
+    kept = [r["vec_id"] for r in out if r["keep"]]
+    assert len(kept) == 30
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    # with max_cluster=1 no pairs form: everything kept
+    df = _blob_df(spark, n_per=5)
+    out = semantic_dedup(spark, df.select("vec_id", "embedding"), k=3,
+                         tau=0.5, n_iter=2, seed=4, max_cluster=1).collect()
+    assert all(r["keep"] for r in out)

@@ -885,3 +885,55 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         spark, emb, k=8, tau=0.97, n_iter=4, seed=42, max_cluster=10_000
     )
+
+
+@register(
+    "rare_token_ratio_documents",
+    f"""
+  WITH toks AS (
+    SELECT doc_id, unnest({_TOK_DUCK}) AS tok
+    FROM documents WHERE trim(text) <> ''
+  ),
+  total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+  dfreq AS (SELECT tok, count(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1)
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN CAST(dfq AS DOUBLE)
+                            <= CAST(n_docs AS DOUBLE) * 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         CAST(sum(CASE WHEN CAST(dfq AS DOUBLE)
+                            <= CAST(n_docs AS DOUBLE) * 0.1
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS rare_frac
+  FROM toks JOIN dfreq USING (tok) CROSS JOIN total
+  GROUP BY doc_id
+""",
+)
+def rare_token_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level document-frequency quality signal: per document, the
+    fraction of token occurrences whose token appears in <= 10% of
+    corpus documents — the two-pass global-statistics shape (build a
+    vocabulary-keyed DF table, join it back) that single-doc heuristics
+    (quality_score_documents) cannot express.  Scale: the DF table is
+    vocabulary-sized, the join is token-keyed (both partial-aggregated);
+    the corpus is scanned twice but never collected.  Integer counts up
+    to one final double division."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("tok"))
+    )
+    total = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfq"))
+    rare = F.when(
+        F.col("dfq").cast("double") <= F.col("n_docs").cast("double") * F.lit(0.1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    joined = toks.join(dfreq, "tok").crossJoin(F.broadcast(total))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(rare).cast("long").alias("n_rare"),
+        (
+            F.sum(rare).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("rare_frac"),
+    )

@@ -76,6 +76,9 @@ def main() -> None:
         "minhash_band_candidates",
         "dedup_clusters_documents",
         "counter_rate_events",
+        "deriv_predict_events",
+        "quantile_exact_1h_events",
+        "holt_winters_events_1h",
         "contamination_check_documents",
         "ngram_jaccard_neighbors",
         "quality_score_documents",

@@ -198,6 +198,8 @@ def query_range(
     tag: str | None = None,
     stat: str = "mean",
     key_dim=None,
+    fn: str | None = None,
+    fn_args: dict | None = None,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -212,6 +214,14 @@ def query_range(
     Returns (domain, metric, tag, bucket_ts, value) rows where value is
     the requested stat (mean/min/max/count/sum) derived from the merged
     state per step bucket.
+
+    ``fn`` composes a PromQL-style per-series transform onto the stat
+    series, shape-preserving (value is replaced, row per step bucket):
+    ``rate`` / ``increase`` (reset-aware counter semantics), ``delta``
+    (gauge difference), ``ewma`` / ``holt`` (exponential smoothing;
+    ``fn_args`` forwards alpha / sf+tf).  The transforms run on TIER
+    rows after the state merge — one extra window/Arrow pass over the
+    served series, never a raw scan.
     """
     from pyspark.sql import functions as F
 
@@ -277,9 +287,47 @@ def query_range(
         "count": F.col("cnt").cast("double"),
         "sum": (F.col("sum").cast("double") / (1e6 if impl == "fixed64" else 1.0)),
     }[stat]
-    return derived.select(
+    out = derived.select(
         "domain", "metric", "tag", "bucket_ts", val.alias("value")
-    ).orderBy("domain", "tag", "bucket_ts")
+    )
+    if fn is not None:
+        out = _apply_range_fn(out, fn, fn_args or {})
+    return out.orderBy("domain", "tag", "bucket_ts")
+
+
+_RANGE_FNS = ("rate", "increase", "delta", "ewma", "holt")
+
+
+def _apply_range_fn(df, fn: str, fn_args: dict):
+    """Shape-preserving per-series transform for query_range(fn=...)."""
+    keys = ["domain", "metric", "tag"]
+    cols = [*keys, "bucket_ts"]
+    if fn == "rate":
+        from fischer_spark.operators.counters import counter_rate
+
+        out = counter_rate(df, keys, ["bucket_ts"], ts_col="bucket_ts")
+        return out.select(*cols, out["rate"].alias("value"))
+    if fn == "increase":
+        from fischer_spark.operators.counters import counter_increase
+
+        out = counter_increase(df, keys, ["bucket_ts"])
+        return out.select(*cols, out["increase"].alias("value"))
+    if fn == "delta":
+        from fischer_spark.operators.counters import gauge_delta
+
+        out = gauge_delta(df, keys, ["bucket_ts"])
+        return out.select(*cols, out["delta"].alias("value"))
+    if fn == "ewma":
+        from fischer_spark.operators.smooth import ewma
+
+        out = ewma(df, keys, ts_col="bucket_ts", **fn_args)
+        return out.select(*cols, out["smoothed"].alias("value"))
+    if fn == "holt":
+        from fischer_spark.operators.smooth import holt
+
+        out = holt(df, keys, ts_col="bucket_ts", **fn_args)
+        return out.select(*cols, out["smoothed"].alias("value"))
+    raise ValueError(f"unknown query_range fn={fn!r}; choose one of {_RANGE_FNS}")
 
 
 def query_range_hist(

@@ -228,3 +228,74 @@ def test_series_smoothing_fluent(pages):
     assert "smoothed" in sm.columns and sm.count() == s.df.count()
     hw = s.holt().df
     assert {"smoothed", "trend"} <= set(hw.columns)
+
+
+def test_query_range_fn_transforms(spark, tmp_path):
+    """query_range(fn=...) composes per-series transforms onto the tier
+    read: rate == increase/step, ewma matches the operator kernel, and
+    an unknown fn errors loudly."""
+    import datetime
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.operators.smooth import _ewma_np
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    pages = synth_pages(spark, 4000, seed=7).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    points = build_series(pages)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(points, "1h"))
+
+    lo, hi = points.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    start, end = str(lo.replace(minute=0)), str(hi + datetime.timedelta(hours=1))
+
+    base = query_range(store, "crawl_rate", start, end, 3600, stat="sum")
+    inc = query_range(store, "crawl_rate", start, end, 3600, stat="sum", fn="increase")
+    rate = query_range(store, "crawl_rate", start, end, 3600, stat="sum", fn="rate")
+    assert base.columns == inc.columns == rate.columns
+
+    key = lambda r: (r["domain"], r["tag"], r["bucket_ts"])  # noqa: E731
+    inc_rows = {key(r): r["value"] for r in inc.collect()}
+    rate_rows = {key(r): r["value"] for r in rate.collect()}
+    assert any(v is not None for v in inc_rows.values())
+    # rate = increase / elapsed-seconds to the series' PREVIOUS bucket
+    # (buckets may be gapped — elapsed is not always one step)
+    series: dict = {}
+    for (d, t, b), v in inc_rows.items():
+        series.setdefault((d, t), []).append(b)
+    checked = 0
+    for (d, t), buckets in series.items():
+        buckets.sort()
+        for prev, cur in zip(buckets, buckets[1:]):
+            r, i = rate_rows[(d, t, cur)], inc_rows[(d, t, cur)]
+            if r is None or i is None:
+                continue
+            elapsed = (cur - prev).total_seconds()
+            assert abs(r - i / elapsed) < 1e-9
+            checked += 1
+    assert checked > 0
+
+    sm = query_range(store, "crawl_rate", start, end, 3600, stat="mean",
+                     fn="ewma", fn_args={"alpha": 0.4})
+    raw = query_range(store, "crawl_rate", start, end, 3600, stat="mean")
+    got, want = {}, {}
+    for r in raw.collect():
+        want.setdefault((r["domain"], r["tag"]), []).append((r["bucket_ts"], r["value"]))
+    for r in sm.collect():
+        got.setdefault((r["domain"], r["tag"]), []).append((r["bucket_ts"], r["value"]))
+    k0 = next(k for k, v in want.items() if len(v) > 5)
+    ys = [v for _, v in sorted(want[k0])]
+    np.testing.assert_allclose(
+        [v for _, v in sorted(got[k0])], _ewma_np(np.array(ys), 0.4), rtol=1e-9
+    )
+
+    with _pytest.raises(ValueError, match="unknown query_range fn"):
+        query_range(store, "crawl_rate", start, end, 3600, fn="nope")

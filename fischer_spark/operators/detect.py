@@ -328,3 +328,75 @@ def anomaly_intervals(
             "n_points",
         )
     )
+
+
+def _exact_median_agg(val_col: str):
+    """Conditional-aggregation exact median (rank-based lerp) — the same
+    deterministic interpolation arithmetic as quantile_exact_1h_events,
+    reusable per groupBy: call inside .agg() on a frame that already has
+    `_rn` (row_number by val_col) and `_cnt` (partition count) columns."""
+    k = (F.col("_cnt") - 1).cast("double") * F.lit(0.5)
+    lo = F.max(F.when(F.col("_rn") == F.floor(k).cast("long") + 1, F.col(val_col)))
+    hi = F.max(F.when(F.col("_rn") == F.ceil(k).cast("long") + 1, F.col(val_col)))
+    kk = (F.max("_cnt") - 1).cast("double") * F.lit(0.5)
+    return lo + (hi - lo) * (kk - F.floor(kk))
+
+
+def robust_seasonal_score(
+    points: DataFrame,
+    key_cols: list[str],
+    slot_col,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Robust (median/MAD) seasonal deviation score — the outlier-proof
+    counterpart of the mean/stddev seasonal profile: a handful of wild
+    samples in a slot cannot inflate the spread and mask real anomalies
+    (breakdown point 50% vs 0%).
+
+    Per (key, slot): med = exact median of values, mad = exact median of
+    |value - med|; per sample: score = 0.6745 * (value - med) / mad
+    (0.6745 = Phi^-1(0.75) scales MAD to sigma-equivalents for normal
+    data — the standard public robust-z formula).  NULL score where mad
+    == 0 (constant slot; any deviation would be infinitely surprising —
+    surface as NULL, not inf).
+
+    Shape: two slot-keyed window/agg passes + two slot-keyed joins —
+    every shuffle is on the (key, slot) profile key, the same
+    partitioning the mean/stddev seasonal profile uses; medians are
+    rank-based (no full collect, no approx).
+    """
+    slots = key_cols + ["_slot"]
+    base = points.select(
+        *points.columns, slot_col.alias("_slot")
+    )
+    w = Window.partitionBy(*slots)
+    r1 = base.select(
+        *base.columns,
+        F.row_number().over(w.orderBy(val_col)).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    )
+    med = r1.groupBy(*slots).agg(_exact_median_agg(val_col).alias("med"))
+    with_med = base.join(med, slots)
+    dev = with_med.select(
+        *with_med.columns,
+        F.abs(F.col(val_col) - F.col("med")).alias("_adev"),
+    )
+    r2 = dev.select(
+        *dev.columns,
+        F.row_number().over(w.orderBy("_adev")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    )
+    mad = r2.groupBy(*slots).agg(_exact_median_agg("_adev").alias("mad"))
+    scored = dev.join(mad, slots)
+    score = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col(val_col) - F.col("med")) / F.col("mad"),
+    )
+    return scored.select(
+        *[c for c in points.columns],
+        F.col("_slot").alias("slot"),
+        "med",
+        "mad",
+        score.alias("score"),
+    )

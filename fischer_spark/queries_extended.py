@@ -660,3 +660,70 @@ def holt_winters_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket_ts", F.col("smoothed").alias("ewma")
     )
     return sm.join(ew, ["event_type", "bucket_ts"])
+
+
+# --------------------------------------------------------------------------
+# O65 — robust (median/MAD) seasonal deviation score
+# --------------------------------------------------------------------------
+
+_MED_LERP = """
+         max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN {v} END)
+         + (max(CASE WHEN rn = CAST(ceil(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN {v} END)
+            - max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN {v} END))
+           * (CAST(max(cnt) - 1 AS DOUBLE) * 0.5
+              - floor(CAST(max(cnt) - 1 AS DOUBLE) * 0.5))
+"""
+
+
+@register(
+    "robust_zscore_events",
+    f"""
+  WITH b AS (
+    SELECT event_id, event_type, ts, value, hour(ts) AS slot FROM events
+  ),
+  r1 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, slot ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type, slot) AS cnt
+    FROM b
+  ),
+  med AS (
+    SELECT event_type, slot, {_MED_LERP.format(v='value')} AS med
+    FROM r1 GROUP BY 1, 2
+  ),
+  d AS (
+    SELECT b.*, med.med, abs(b.value - med.med) AS adev
+    FROM b JOIN med USING (event_type, slot)
+  ),
+  r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, slot ORDER BY adev) AS rn,
+           count(*) OVER (PARTITION BY event_type, slot) AS cnt
+    FROM d
+  ),
+  mad AS (
+    SELECT event_type, slot, {_MED_LERP.format(v='adev')} AS mad
+    FROM r2 GROUP BY 1, 2
+  )
+  SELECT d.event_id, d.event_type, d.ts, d.value, d.slot, d.med, mad.mad,
+         CASE WHEN mad.mad > 0
+              THEN 0.6745 * (d.value - d.med) / mad.mad END AS score
+  FROM d JOIN mad USING (event_type, slot)
+""",
+)
+def robust_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal deviation (operators/detect.py
+    robust_seasonal_score): exact median/MAD per (event_type,
+    hour-of-day) slot, score = 0.6745*(x-med)/mad — the outlier-proof
+    counterpart of seasonal_scored_events.  Rank-based medians with the
+    engine-identical lerp arithmetic (same convention as
+    quantile_exact_1h_events), so the gate is hash-deterministic."""
+    from fischer_spark.operators.detect import robust_seasonal_score
+
+    d = scan_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = robust_seasonal_score(
+        d, ["event_type"], F.hour("ts"), ts_col="ts", val_col="value"
+    )
+    return out.select(
+        "event_id", "event_type", "ts", "value", "slot", "med", "mad", "score"
+    )

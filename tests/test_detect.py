@@ -89,3 +89,44 @@ def test_planted_crawl_spike_detected(pages):
     assert any(
         iv.interval_start.day == 6 and 10 <= iv.interval_start.hour <= 14 for iv in ivals
     ), [(iv.interval_start, iv.peak_score) for iv in ivals]
+
+
+def test_robust_seasonal_score_outlier_resistance(spark):
+    """A single wild sample cannot inflate the robust spread: normal
+    samples keep |score| small while the outlier scores huge; a
+    constant slot (mad == 0) yields NULL scores."""
+    import datetime as dt
+
+    from fischer_spark.operators.detect import robust_seasonal_score
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    # slot hour=9: values 100..109 plus one 10_000 outlier
+    for i in range(10):
+        rows.append((i, "a", t0 + dt.timedelta(days=i), 100.0 + i))
+    rows.append((99, "a", t0 + dt.timedelta(days=10), 10_000.0))
+    # slot hour=12: constant values -> mad == 0 -> NULL scores
+    t12 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(5):
+        rows.append((200 + i, "a", t12 + dt.timedelta(days=i), 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id: long, event_type: string, ts: timestamp, value: double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in robust_seasonal_score(
+            df, ["event_type"], F.hour("ts"), val_col="value"
+        ).collect()
+    }
+    normal_scores = [abs(out[i]["score"]) for i in range(10)]
+    assert max(normal_scores) < 2.0          # untouched by the outlier
+    assert out[99]["score"] > 100.0          # the outlier itself screams
+    for i in range(5):
+        assert out[200 + i]["score"] is None  # constant slot
+    # classic mean/std would let the outlier mask itself: its plain z
+    # over this slot is < 3.2 while the robust score is > 100
+    import statistics
+
+    vals = [100.0 + i for i in range(10)] + [10_000.0]
+    z_outlier = (10_000.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert z_outlier < 3.2

@@ -185,3 +185,52 @@ def scan_pages(spark: SparkSession, path: str, columns: list[str] | None = None)
     requested columns (html is the huge one — never scan it implicitly)."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+PAGES_JSONL_SCHEMA = (
+    "url string, warc_ts timestamp, html string, text string, lang string"
+)
+
+
+def scan_pages_jsonl(
+    spark: SparkSession,
+    path: str,
+    corrupt: str = "drop",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """O1b — ingest a JSON-lines pages dump (the common landing format
+    for Common-Crawl-style extractions before they become columnar).
+
+    Schema is EXPLICIT, never inferred: schema inference on JSON is a
+    full extra pass over the data — at 100 TB that is a second scan
+    before the first useful byte.  ``html`` arrives as a JSON string
+    and is cast to binary to match the parquet pages contract.
+
+    Malformed lines (``corrupt=``):
+      - ``"drop"``  (default): quarantine-filtered out; the pipeline
+        proceeds on clean rows only,
+      - ``"keep"``: retained with all fields NULL plus the raw line in
+        ``_corrupt_record`` for a dead-letter sink,
+      - ``"error"``: FAILFAST — the job dies on the first bad line.
+    """
+    if corrupt not in ("drop", "keep", "error"):
+        raise ValueError(f"corrupt={corrupt!r}; choose drop|keep|error")
+    reader = (
+        spark.read.schema(PAGES_JSONL_SCHEMA + ", _corrupt_record string")
+        .option("timestampFormat", "yyyy-MM-dd['T'][' ']HH:mm:ss[.SSSSSS]")
+        .option(
+            "mode", "FAILFAST" if corrupt == "error" else "PERMISSIVE"
+        )
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    df = reader.json(path)
+    if corrupt == "drop":
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    elif corrupt == "error":
+        df = df.drop("_corrupt_record")  # FAILFAST dies before it could fill
+    out_cols = columns or df.columns
+    proj = [
+        F.col("html").cast("binary").alias("html") if c == "html" else F.col(c)
+        for c in out_cols
+    ]
+    return df.select(*proj)

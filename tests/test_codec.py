@@ -90,3 +90,45 @@ def test_zone_map_pruning(pages):
     want = pts.filter(F.col("bucket_ts") >= t_from)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# -- hypothesis property coverage (SURVEY.md §5: property-based layer) ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_finite_or_special = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.just(float("nan")),
+    st.just(0.0),
+    st.just(-0.0),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_finite_or_special, min_size=1, max_size=300))
+def test_val_roundtrip_property(vals):
+    """ANY float64 sequence — including NaN payloads, signed zeros and
+    infinities — must round-trip BIT-exactly through the XOR codec."""
+    arr = np.array(vals, dtype="float64")
+    out = decode_values(encode_values(arr), len(arr))
+    assert np.array_equal(
+        arr.view("uint64"), out.view("uint64")
+    ), "bit pattern changed"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**48), min_size=1, max_size=300
+    ),
+    st.integers(min_value=0, max_value=2**40),
+)
+def test_ts_roundtrip_property(deltas, base):
+    """Monotone microsecond timestamps with arbitrary (including huge
+    and zero) gaps round-trip exactly through delta-of-delta."""
+    ts = base + np.cumsum(np.array(deltas, dtype="int64"))
+    out = decode_timestamps(encode_timestamps(ts), len(ts))
+    assert np.array_equal(ts, out)

@@ -85,3 +85,29 @@ def test_lttb_downsample_spark(spark):
         )
         ref = lttb(np.arange(400, dtype=float), vals, 20)
         assert sub["t"].to_numpy().astype(int).tolist() == ref.tolist()
+
+
+# -- hypothesis property coverage ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=3, max_value=50),
+)
+def test_lttb_invariants_property(vals, n_out):
+    """For ANY series: output indices are a strictly increasing
+    subsequence, first/last points always survive, and the output size
+    is exactly min(n_out, n)."""
+    ts = np.arange(len(vals), dtype="int64") * 1000
+    idx = lttb(ts, np.array(vals, dtype="float64"), n_out)
+    assert len(idx) == min(n_out, len(vals))
+    assert idx[0] == 0 and idx[-1] == len(vals) - 1
+    assert np.all(np.diff(idx) > 0)

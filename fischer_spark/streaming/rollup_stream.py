@@ -183,3 +183,64 @@ def streaming_hist_tier(
             "bin_cnt",
         )
     )
+
+
+_CR_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+_CR_OUT = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("bucket_ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("increase", DoubleType()),
+        StructField("rate", DoubleType()),
+    ]
+)
+
+
+def _counter_rate_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Reset-aware counter increase/rate per key across micro-batches —
+    the streaming form of operators/counters.py: state is just the last
+    (ts, value) seen, so a restart resumes exactly where the batch form
+    would (same reset semantics, same µs-exact elapsed time)."""
+    if state.exists:
+        last_us, last_v = state.get
+    else:
+        last_us, last_v = None, None
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("bucket_ts")
+        for ts, x in zip(pdf["bucket_ts"], pdf["value"].astype(float)):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_v is None:
+                inc, rate = None, None
+            else:
+                inc = x - last_v if x >= last_v else x  # reset → from 0
+                dt_us = us - last_us
+                rate = inc / (dt_us / 1e6) if dt_us > 0 else None
+            out.append((key[0], ts, x, inc, rate))
+            last_us, last_v = us, x
+    state.update((last_us, last_v))
+    yield pd.DataFrame(
+        out, columns=["domain", "bucket_ts", "value", "increase", "rate"]
+    )
+
+
+def streaming_counter_rate(bucket_stream: DataFrame) -> DataFrame:
+    """Stateful streaming counter rate over (domain, bucket_ts, value)
+    rows; in-order delivery per key gives bit-identical increase/rate to
+    the batch `counter_rate` (seam test in test_streaming.py)."""
+    return bucket_stream.groupBy("domain").applyInPandasWithState(
+        _counter_rate_state_fn,
+        outputStructType=_CR_OUT,
+        stateStructType=_CR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,52 @@ def test_streaming_late_event_within_watermark_matches_batch_refresh(
         ).count()
         == 0
     )
+
+
+def test_streaming_counter_rate_matches_batch(spark, tmp_path):
+    """Streaming reset-aware counter rate == batch operators/counters
+    on the same in-order series, including across a reset."""
+    import datetime as dt
+
+    from fischer_spark.operators.counters import counter_rate
+    from fischer_spark.streaming.rollup_stream import streaming_counter_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # two keys; key "a" has a genuine reset (40 -> 7)
+    vals_a = [10.0, 25.0, 40.0, 7.0, 9.5]
+    vals_b = [100.0, 100.0, 160.0]
+    for i, v in enumerate(vals_a):
+        rows.append(("a", t0 + dt.timedelta(seconds=90 * i), v))
+    for i, v in enumerate(vals_b):
+        rows.append(("b", t0 + dt.timedelta(seconds=45 * i), v))
+    src = spark.createDataFrame(
+        rows, "domain: string, bucket_ts: timestamp, value: double"
+    )
+    src_dir = str(tmp_path / "cr_src")
+    src.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = (
+        streaming_counter_rate(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_cr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["domain"], r["bucket_ts"]): (r["increase"], r["rate"])
+        for r in spark.sql("SELECT * FROM t_stream_cr").collect()
+    }
+    want = {
+        (r["domain"], r["bucket_ts"]): (r["increase"], r["rate"])
+        for r in counter_rate(
+            src, ["domain"], ["bucket_ts"], ts_col="bucket_ts"
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == len(rows)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert (g is None and w is None) or g == w

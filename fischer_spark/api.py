@@ -177,6 +177,23 @@ class Series:
             self.tier,
         )
 
+    def robust_score(self) -> "Series":
+        """Robust median/MAD hour-of-day seasonal deviation
+        (operators/detect.py robust_seasonal_score) — the outlier-proof
+        counterpart of .score('seasonal')."""
+        from fischer_spark.operators.detect import robust_seasonal_score
+
+        return Series(
+            robust_seasonal_score(
+                self.df,
+                ["domain", "metric", "tag"],
+                F.hour("bucket_ts"),
+                ts_col="bucket_ts",
+                val_col="value",
+            ),
+            self.tier,
+        )
+
     # -- introspection ------------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

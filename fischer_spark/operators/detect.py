@@ -366,10 +366,14 @@ def robust_seasonal_score(
     partitioning the mean/stddev seasonal profile uses; medians are
     rank-based (no full collect, no approx).
     """
-    slots = key_cols + ["_slot"]
-    base = points.select(
-        *points.columns, slot_col.alias("_slot")
-    )
+    # nullable keys (tag is NULL for most series) never equi-join — route
+    # every profile join through the repo's null-safe sentinel convention
+    slots = [f"_jk{i}" for i in range(len(key_cols) + 1)]
+    shadow = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(f"_jk{i}")
+        for i, c in enumerate(key_cols)
+    ] + [F.coalesce(slot_col.cast("string"), F.lit("\x00")).alias(f"_jk{len(key_cols)}")]
+    base = points.select(*points.columns, slot_col.alias("_slot"), *shadow)
     w = Window.partitionBy(*slots)
     r1 = base.select(
         *base.columns,

@@ -299,3 +299,14 @@ def test_query_range_fn_transforms(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown query_range fn"):
         query_range(store, "crawl_rate", start, end, 3600, fn="nope")
+
+
+def test_series_robust_score_fluent(pages):
+    from fischer_spark.api import Series
+
+    s = Series.from_pages(pages, ("crawl_rate",)).rollup("1h").robust_score()
+    assert {"slot", "med", "mad", "score"} <= set(s.df.columns)
+    r = s.df.filter(F.col("score").isNotNull()).first()
+    assert r is not None
+    # score definition holds row-wise
+    assert abs(r["score"] - 0.6745 * (r["value"] - r["med"]) / r["mad"]) < 1e-12

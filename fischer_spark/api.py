@@ -183,7 +183,7 @@ class Series:
         counterpart of .score('seasonal')."""
         from fischer_spark.operators.detect import robust_seasonal_score
 
-        return Series(
+        s = Series(
             robust_seasonal_score(
                 self.df,
                 ["domain", "metric", "tag"],
@@ -193,6 +193,8 @@ class Series:
             ),
             self.tier,
         )
+        s._detector = "robust_seasonal"  # type: ignore[attr-defined]
+        return s
 
     # -- introspection ------------------------------------------------------
 
@@ -236,9 +238,12 @@ def query_range(
     series, shape-preserving (value is replaced, row per step bucket):
     ``rate`` / ``increase`` (reset-aware counter semantics), ``delta``
     (gauge difference), ``ewma`` / ``holt`` (exponential smoothing;
-    ``fn_args`` forwards alpha / sf+tf).  The transforms run on TIER
-    rows after the state merge — one extra window/Arrow pass over the
-    served series, never a raw scan.
+    ``fn_args`` forwards alpha / sf+tf) — or instant-reducing:
+    ``deriv`` / ``predict_linear`` (least-squares slope per series /
+    extrapolation ``fn_args={'horizon_s': ...}`` seconds past the last
+    served bucket; ONE row per series).  The transforms run on TIER
+    rows after the state merge — one extra window/Arrow/agg pass over
+    the served series, never a raw scan.
     """
     from pyspark.sql import functions as F
 
@@ -312,13 +317,44 @@ def query_range(
     return out.orderBy("domain", "tag", "bucket_ts")
 
 
-_RANGE_FNS = ("rate", "increase", "delta", "ewma", "holt")
+_RANGE_FNS = (
+    "rate", "increase", "delta", "ewma", "holt", "deriv", "predict_linear"
+)
 
 
 def _apply_range_fn(df, fn: str, fn_args: dict):
-    """Shape-preserving per-series transform for query_range(fn=...)."""
+    """Per-series transform for query_range(fn=...): shape-preserving
+    (rate/increase/delta/ewma/holt — value replaced, row per step
+    bucket) or instant-reducing (deriv/predict_linear — ONE row per
+    series at the last served bucket, PromQL instant-query semantics
+    over the range)."""
     keys = ["domain", "metric", "tag"]
     cols = [*keys, "bucket_ts"]
+    if fn in ("deriv", "predict_linear"):
+        # least-squares line per series over the served range — one
+        # partial-aggregated groupBy (single hash Exchange, map-side
+        # combine; regr_* are codegen aggregates).  Slope is
+        # x-translation-invariant so absolute epoch-seconds are fine;
+        # the prediction is centered on (avgx, avgy) so no epoch-scale
+        # intercept extrapolation enters the arithmetic.  NULL value
+        # for single-sample series (a line needs two points).
+        x = (F.unix_micros(F.col("bucket_ts").cast("timestamp")).cast("double")
+             / F.lit(1e6))
+        g = df.select(*keys, F.col("bucket_ts"), x.alias("x"),
+                      F.col("value").alias("y")).groupBy(*keys).agg(
+            F.max("bucket_ts").alias("bucket_ts"),
+            F.regr_slope("y", "x").alias("_m"),
+            F.regr_avgx("y", "x").alias("_ax"),
+            F.regr_avgy("y", "x").alias("_ay"),
+            F.max("x").alias("_xmax"),
+        )
+        if fn == "deriv":
+            return g.select(*cols, F.col("_m").alias("value"))
+        horizon_s = float(fn_args.get("horizon_s", 3600.0))
+        pred = F.col("_ay") + F.col("_m") * (
+            F.col("_xmax") + F.lit(horizon_s) - F.col("_ax")
+        )
+        return g.select(*cols, pred.alias("value"))
     if fn == "rate":
         from fischer_spark.operators.counters import counter_rate
 

@@ -310,3 +310,50 @@ def test_series_robust_score_fluent(pages):
     assert r is not None
     # score definition holds row-wise
     assert abs(r["score"] - 0.6745 * (r["value"] - r["med"]) / r["mad"]) < 1e-12
+    # intervals compose on the robust scores and carry the detector label
+    iv = s.intervals(tau=0.5)
+    assert "detector" in iv.df.columns
+    row = iv.df.first()
+    assert row is None or row["detector"] == "robust_seasonal"
+
+
+def test_query_range_fn_deriv_predict(spark, tmp_path):
+    """fn='deriv' recovers an exactly-linear series' slope; predict_linear
+    extrapolates the same line exactly; one row per series at the last
+    served bucket; single-sample series yield NULL (a line needs two
+    points)."""
+    import datetime
+
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # series A: value = 10 + 2.5 * hours  (slope 2.5/3600 per second)
+    for h in range(12):
+        rows.append(("a.com", "crawl_rate", None, t0 + datetime.timedelta(hours=h),
+                     10.0 + 2.5 * h))
+    # series B: single sample -> NULL slope
+    rows.append(("b.com", "crawl_rate", None, t0, 7.0))
+    points = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, ts timestamp, value double"
+    ).selectExpr("domain", "metric", "tag", "ts AS bucket_ts", "value")
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(points, "1h"))
+
+    start, end = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    d = {r["domain"]: r for r in query_range(
+        store, "crawl_rate", start, end, 3600, stat="mean", fn="deriv"
+    ).collect()}
+    assert set(d) == {"a.com", "b.com"}
+    assert abs(d["a.com"]["value"] - 2.5 / 3600.0) < 1e-9 * (2.5 / 3600.0)
+    assert d["a.com"]["bucket_ts"] == t0 + datetime.timedelta(hours=11)
+    assert d["b.com"]["value"] is None
+
+    p = {r["domain"]: r for r in query_range(
+        store, "crawl_rate", start, end, 3600, stat="mean",
+        fn="predict_linear", fn_args={"horizon_s": 7200.0},
+    ).collect()}
+    # line continued 2 hours past the last sample: 10 + 2.5*13
+    assert abs(p["a.com"]["value"] - (10.0 + 2.5 * 13)) < 1e-9

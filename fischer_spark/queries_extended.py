@@ -727,3 +727,143 @@ def robust_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "ts", "value", "slot", "med", "mad", "score"
     )
+
+
+# --------------------------------------------------------------------------
+# O68 — robust anomaly intervals (median/MAD score -> gaps-and-islands)
+# --------------------------------------------------------------------------
+
+@register(
+    "robust_intervals_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  b AS (SELECT domain, bucket_ts, value, hour(bucket_ts) AS slot FROM pts),
+  r1 AS (
+    SELECT *, row_number() OVER (PARTITION BY domain, slot ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY domain, slot) AS cnt
+    FROM b
+  ),
+  med AS (
+    SELECT domain, slot, {_MED_LERP.format(v='value')} AS med
+    FROM r1 GROUP BY 1, 2
+  ),
+  d AS (
+    SELECT b.*, med.med, abs(b.value - med.med) AS adev
+    FROM b JOIN med USING (domain, slot)
+  ),
+  r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY domain, slot ORDER BY adev) AS rn,
+           count(*) OVER (PARTITION BY domain, slot) AS cnt
+    FROM d
+  ),
+  mad AS (
+    SELECT domain, slot, {_MED_LERP.format(v='adev')} AS mad
+    FROM r2 GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT d.domain, d.bucket_ts,
+           CASE WHEN mad.mad > 0
+                THEN 0.6745 * (d.value - d.med) / mad.mad END AS score
+    FROM d JOIN mad USING (domain, slot)
+  ),
+  flagged AS (
+    SELECT domain, bucket_ts, score,
+           coalesce(abs(score) > 2.0, FALSE) AS is_anom
+    FROM scored
+  ),
+  edged AS (
+    SELECT *, CASE WHEN is_anom AND NOT coalesce(
+                 lag(is_anom) OVER (PARTITION BY domain ORDER BY bucket_ts), FALSE)
+               THEN 1 ELSE 0 END AS edge
+    FROM flagged
+  ),
+  islands AS (
+    SELECT *, sum(edge) OVER (PARTITION BY domain ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM edged
+  )
+  SELECT domain AS series_key, min(bucket_ts) AS interval_start,
+         max(bucket_ts) AS interval_end,
+         max(abs(score)) AS peak_score, CAST(count(*) AS BIGINT) AS n_points
+  FROM islands WHERE is_anom
+  GROUP BY domain, island
+""",
+)
+def robust_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) scores composed into scored anomaly intervals:
+    robust_seasonal_score (O65) -> anomaly_intervals (O28) gaps-and-
+    islands on the hourly event-rate series, |score| > 2.  The whole
+    chain is the fluent `.rollup('1h').robust_score().intervals(2.0)`
+    surface; hash-safe because both engines derive identical doubles
+    from identical rank-lerp medians, then compare/flag identically."""
+    from fischer_spark.operators.detect import (
+        anomaly_intervals,
+        robust_seasonal_score,
+    )
+    from fischer_spark.queries import _events_hourly_rate
+
+    pts = _events_hourly_rate(spark, sf_dir)
+    scored = robust_seasonal_score(
+        pts, ["domain", "metric", "tag"], F.hour("bucket_ts"),
+        ts_col="bucket_ts", val_col="value",
+    )
+    ivals = anomaly_intervals(scored, tau=2.0, tier="1h", detector="robust_seasonal")
+    return ivals.select(
+        F.col("domain").alias("series_key"),
+        "interval_start",
+        "interval_end",
+        "peak_score",
+        "n_points",
+    )
+
+
+# --------------------------------------------------------------------------
+# O69 — stale / absent series detection
+# --------------------------------------------------------------------------
+
+@register(
+    "stale_series_events",
+    """
+  WITH last AS (
+    SELECT user_id, event_type, max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM events GROUP BY 1, 2
+  ),
+  horizon AS (SELECT max(ts) AS now_ts FROM events)
+  SELECT l.user_id, l.event_type, l.last_ts, l.n_samples,
+         CAST(floor(CAST(epoch_us(h.now_ts) - epoch_us(l.last_ts) AS DOUBLE)
+                    / 3600000000.0) AS BIGINT) AS silent_hours
+  FROM last l, horizon h
+  WHERE l.last_ts < h.now_ts - INTERVAL 7 DAY
+""",
+)
+def stale_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-series detection (the PromQL `absent()`/staleness read):
+    per (user_id, event_type) series, surface those whose LAST sample is
+    older than 7 days before the corpus horizon, with integer
+    silent-hours.  Scale shape: one partial-aggregated groupBy for the
+    per-series max, one 1-row broadcast cross join for the horizon —
+    no window over the full table, no driver collect; exact integer µs
+    arithmetic end-to-end (hash-safe)."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    last = ev.groupBy("user_id", "event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    j = last.crossJoin(F.broadcast(horizon))
+    silent_us = F.unix_micros(F.col("now_ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_ts").cast("timestamp")
+    )
+    return (
+        j.filter(F.col("last_ts") < F.col("now_ts") - F.expr("INTERVAL 7 DAYS"))
+        .select(
+            "user_id", "event_type", "last_ts", "n_samples",
+            F.floor(silent_us.cast("double") / F.lit(3600000000.0))
+            .cast("bigint").alias("silent_hours"),
+        )
+    )

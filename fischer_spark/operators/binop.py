@@ -1,0 +1,84 @@
+"""Series algebra: PromQL-style binary operations between two series
+sets with label matching (``a / on(labels) b`` — error ratios, relative
+rates, deltas between deployments).
+
+Semantics (public PromQL vector-matching model, one-to-one form):
+samples pair when their match labels AND timestamp are equal; the
+result carries the match labels only.  ``match="inner"`` drops
+unmatched samples (PromQL default); ``match="left"`` keeps every
+left sample and substitutes ``fill`` for the missing right value
+(the ``or vector(c)`` idiom).
+
+Deviation from PromQL, documented: division by zero yields NULL, not
+±Inf/NaN — NULL is deterministic across engines (DuckDB/Spark agree)
+and composes with the repo's NULL-on-undefined convention (robust
+score, rate over zero elapsed).
+
+Scale shape: ONE equi-join on (match labels, ts) — both sides shuffle
+on the same key, no window, no Python.  Nullable labels (``tag`` is
+NULL for most series) join through the repo's sentinel shadow-key
+convention, never dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = ("add", "sub", "mul", "div")
+
+
+def _op_expr(op: str, a: Column, b: Column) -> Column:
+    if op == "add":
+        return a + b
+    if op == "sub":
+        return a - b
+    if op == "mul":
+        return a * b
+    if op == "div":
+        return F.when(b != 0, a / b)  # NULL on zero divisor (documented)
+    raise ValueError(f"unknown series binop {op!r}; choose one of {_OPS}")
+
+
+def series_binop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str = "div",
+    on: tuple[str, ...] = ("domain", "tag"),
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    match: str = "inner",
+    fill: float | None = None,
+) -> DataFrame:
+    """Pair ``left`` and ``right`` samples on (``on`` labels, ``ts_col``)
+    and combine values with ``op``.  Returns (on..., ts_col, value).
+
+    ``match="left"`` keeps unmatched left samples with ``fill`` standing
+    in for the right value (``fill=None`` keeps them as NULL results).
+    """
+    if match not in ("inner", "left"):
+        raise ValueError(f"unknown match mode {match!r}; 'inner' or 'left'")
+    # sentinel shadow keys: NULL labels must pair, not vanish
+    jk = [f"_jk{i}" for i in range(len(on) + 1)]
+
+    def shadowed(df: DataFrame, val_alias: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(f"_jk{i}")
+            for i, c in enumerate(on)
+        ] + [
+            F.coalesce(F.col(ts_col).cast("string"), F.lit("\x00")).alias(
+                f"_jk{len(on)}"
+            )
+        ]
+        return df.select(
+            *on, F.col(ts_col), *cols, F.col(val_col).alias(val_alias)
+        )
+
+    l = shadowed(left, "_va")
+    r = shadowed(right, "_vb").drop(*on, ts_col)
+    how = "inner" if match == "inner" else "left"
+    j = l.join(r, jk, how)
+    vb = F.col("_vb")
+    if match == "left" and fill is not None:
+        vb = F.coalesce(vb, F.lit(float(fill)))
+    return j.select(*on, ts_col, _op_expr(op, F.col("_va"), vb).alias("value"))

@@ -867,3 +867,48 @@ def stale_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("silent_hours"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O70 — series algebra (PromQL vector matching): error ratio per user-day
+# --------------------------------------------------------------------------
+
+@register(
+    "series_ratio_events",
+    """
+  WITH e AS (
+    SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events WHERE event_type = 'error' GROUP BY 1, 2
+  ),
+  c AS (
+    SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+  )
+  SELECT e.user_id, e.bucket_ts,
+         CASE WHEN c.value <> 0 THEN e.value / c.value END AS value
+  FROM e JOIN c USING (user_id, bucket_ts)
+""",
+)
+def series_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series algebra (operators/binop.py series_binop): errors-per-click
+    ratio per (user_id, day) — PromQL ``errors / on(user_id) clicks``
+    one-to-one vector matching.  Both sides are exact integer counts, so
+    the single division is hash-deterministic; samples pair on (label,
+    timestamp) through one equi-join."""
+    from fischer_spark.operators.binop import series_binop
+
+    ev = scan_testdata(spark, sf_dir, "events")
+
+    def daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("bucket_ts"))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+
+    out = series_binop(
+        daily("error"), daily("click"), op="div", on=("user_id",)
+    )
+    return out.select("user_id", "bucket_ts", "value")

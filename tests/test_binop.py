@@ -1,0 +1,86 @@
+"""Series algebra: PromQL-style vector matching (operators/binop.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.binop import series_binop
+
+T0 = datetime.datetime(2024, 1, 1)
+SCHEMA = "domain string, tag string, bucket_ts timestamp, value double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_inner_match_and_null_labels(spark):
+    """Samples pair on (labels, ts); NULL tag pairs with NULL tag (the
+    sentinel convention) instead of vanishing through the equi-join."""
+    left = _df(spark, [
+        ("a", None, T0, 10.0),
+        ("a", "x", T0, 8.0),
+        ("b", None, T0, 5.0),          # no right partner -> dropped
+    ])
+    right = _df(spark, [
+        ("a", None, T0, 4.0),
+        ("a", "x", T0, 2.0),
+    ])
+    out = series_binop(left, right, op="div", on=("domain", "tag"))
+    got = {(r["domain"], r["tag"]): r["value"] for r in out.collect()}
+    assert got == {("a", None): 2.5, ("a", "x"): 4.0}
+
+
+def test_div_by_zero_is_null(spark):
+    left = _df(spark, [("a", None, T0, 3.0)])
+    right = _df(spark, [("a", None, T0, 0.0)])
+    (r,) = series_binop(left, right, op="div", on=("domain", "tag")).collect()
+    assert r["value"] is None
+
+
+def test_left_match_with_fill(spark):
+    """match='left' keeps unmatched left samples; fill stands in for the
+    missing right value (the PromQL `or vector(c)` idiom)."""
+    left = _df(spark, [("a", None, T0, 3.0), ("b", None, T0, 7.0)])
+    right = _df(spark, [("a", None, T0, 2.0)])
+    out = series_binop(
+        left, right, op="add", on=("domain", "tag"), match="left", fill=0.0
+    )
+    got = {r["domain"]: r["value"] for r in out.collect()}
+    assert got == {"a": 5.0, "b": 7.0}
+    # without fill the unmatched result is NULL, the row still present
+    out2 = series_binop(
+        left, right, op="add", on=("domain", "tag"), match="left"
+    )
+    got2 = {r["domain"]: r["value"] for r in out2.collect()}
+    assert got2["a"] == 5.0 and got2["b"] is None
+
+
+def test_all_ops_and_timestamp_mismatch(spark):
+    t1 = T0 + datetime.timedelta(hours=1)
+    left = _df(spark, [("a", None, T0, 6.0), ("a", None, t1, 1.0)])
+    right = _df(spark, [("a", None, T0, 3.0)])  # t1 has no partner
+    for op, want in (("add", 9.0), ("sub", 3.0), ("mul", 18.0), ("div", 2.0)):
+        rows = series_binop(left, right, op=op, on=("domain", "tag")).collect()
+        assert len(rows) == 1 and rows[0]["value"] == want
+
+    with pytest.raises(ValueError, match="unknown series binop"):
+        series_binop(left, right, op="pow", on=("domain", "tag")).collect()
+    with pytest.raises(ValueError, match="unknown match mode"):
+        series_binop(left, right, match="outer")
+
+
+def test_plan_is_single_sort_merge_or_hash_join(spark):
+    """One equi-join, no cartesian, no Python in the plan."""
+    left = _df(spark, [("a", None, T0, 6.0)])
+    right = _df(spark, [("a", None, T0, 3.0)])
+    plan = (
+        series_binop(left, right, on=("domain", "tag"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" in plan
+    assert "Cartesian" not in plan
+    assert "PythonUDF" not in plan

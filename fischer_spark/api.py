@@ -219,6 +219,7 @@ def query_range(
     key_dim=None,
     fn: str | None = None,
     fn_args: dict | None = None,
+    allow_raw: bool = False,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -228,7 +229,10 @@ def query_range(
     ``step_s`` — so a 2h-step query touches 1/3600 of the raw rows via
     the 1h tier and re-buckets by EXACT state addition (never
     recomputing from raw).  Label/time predicates are plain column
-    filters, pushed into the tier scan by Catalyst.
+    filters, pushed into the tier scan by Catalyst.  A step no tier
+    divides errors loudly unless ``allow_raw=True``, which serves it
+    from the compressed chunk store instead (zone-map-pruned decode of
+    the window's chunks, exact decimal aggregation at ``step_s``).
 
     Returns (domain, metric, tag, bucket_ts, value) rows where value is
     the requested stat (mean/min/max/count/sum) derived from the merged
@@ -248,6 +252,7 @@ def query_range(
     from pyspark.sql import functions as F
 
     from fischer_spark.operators.rollup import (
+        _point_aggs,
         _state_aggs,
         with_derived_stats,
     )
@@ -258,13 +263,27 @@ def query_range(
     if tier is None:
         # A step no tier bucket divides (90s, 45s, …) cannot be served
         # exactly from tier states: a 1m state straddling two step windows
-        # would be wholly mis-attributed to one of them. Error loudly
-        # instead of returning silently-wrong numbers.
-        raise ValueError(
-            f"step_s={step_s} is not a multiple of any materialized tier "
-            f"bucket ({sorted(_TIER_S.values())}); choose a step divisible "
-            "by 60, or query the raw series directly"
+        # would be wholly mis-attributed to one of them. Error loudly by
+        # default; allow_raw=True opts into the honest-but-expensive
+        # answer — decode the zone-map-surviving raw chunks for the
+        # window and aggregate exactly at step_s (cost O(chunks in
+        # window), an explicit choice, never a silent raw scan).
+        if not allow_raw:
+            raise ValueError(
+                f"step_s={step_s} is not a multiple of any materialized "
+                f"tier bucket ({sorted(_TIER_S.values())}); choose a step "
+                "divisible by 60, or pass allow_raw=True to serve it from "
+                "the raw chunk store"
+            )
+        pts = _raw_points(store, metric, start, end, domain, tag)
+        step_bucket = F.timestamp_seconds(
+            (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
+        ).alias("bucket_ts")
+        merged = pts.groupBy("domain", "metric", "tag", step_bucket).agg(
+            *_point_aggs("decimal")
         )
+        derived = with_derived_stats(merged)
+        return _range_stat_select(derived, stat, "decimal", fn, fn_args)
     states = store.read(f"rollup_{tier}")
     if "key_id" in states.columns:
         # fast-path tier tables carry dictionary-encoded keys; decode via
@@ -301,6 +320,12 @@ def query_range(
         *_state_aggs(impl)
     )
     derived = with_derived_stats(merged)
+    return _range_stat_select(derived, stat, impl, fn, fn_args)
+
+
+def _range_stat_select(derived, stat: str, impl: str, fn, fn_args):
+    """Shared query_range tail: pick the requested stat off the derived
+    state columns, compose fn, order for presentation."""
     val = {
         "mean": F.col("mean"),
         "stddev": F.col("stddev"),
@@ -516,6 +541,14 @@ def query_raw(
     chunk table (stats are plain columns, so Catalyst pushes them), and
     the decode mapInPandas sees only surviving chunk rows.
     """
+    return _raw_points(store, metric, start, end, domain, tag).orderBy(
+        "domain", "tag", "bucket_ts"
+    )
+
+
+def _raw_points(store, metric, start, end, domain=None, tag=None):
+    """query_raw without the presentation sort — the composable form
+    (aggregating consumers must not pay a pre-shuffle sort)."""
     from fischer_spark.operators.chunks import decode_chunks, prune_chunks
 
     chunks = store.read("chunks")
@@ -529,4 +562,4 @@ def query_raw(
     pts = decode_chunks(pruned)
     return pts.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
-    ).orderBy("domain", "tag", "bucket_ts")
+    )

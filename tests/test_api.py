@@ -357,3 +357,45 @@ def test_query_range_fn_deriv_predict(spark, tmp_path):
     ).collect()}
     # line continued 2 hours past the last sample: 10 + 2.5*13
     assert abs(p["a.com"]["value"] - (10.0 + 2.5 * 13)) < 1e-9
+
+
+def test_query_range_allow_raw_serves_nondividing_step(spark, tmp_path):
+    """step=90s divides no tier; allow_raw=True serves it from the chunk
+    store and equals a direct exact aggregation of the raw points."""
+    import datetime
+
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.chunks import encode_chunks
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", "m", None, base + datetime.timedelta(seconds=30 * i), float(i % 17))
+        for i in range(400)
+    ]
+    pts = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("chunks", encode_chunks(pts, "1h"))
+
+    start, end = "2024-01-01 00:00:00", "2024-01-01 04:00:00"
+    got = query_range(store, "m", start, end, step_s=90, stat="mean", allow_raw=True)
+
+    step_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / 90).cast("long") * 90
+    ).alias("bucket_ts")
+    want = (
+        pts.filter((F.col("bucket_ts") >= start) & (F.col("bucket_ts") < end))
+        .groupBy("domain", "metric", "tag", step_bucket)
+        .agg(F.avg("value").alias("value"))
+    )
+    assert_df_equal(got, want, tol=1e-9)
+
+    # fail-loud default is unchanged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a multiple"):
+        query_range(store, "m", start, end, step_s=90)

@@ -196,6 +196,43 @@ class Series:
         s._detector = "robust_seasonal"  # type: ignore[attr-defined]
         return s
 
+    def binop(
+        self,
+        other: "Series",
+        op: str = "div",
+        match: str = "inner",
+        fill: float | None = None,
+        new_metric: str = "binop",
+    ) -> "Series":
+        """PromQL-style series algebra against another Series
+        (operators/binop.py): samples pair on (domain, tag, bucket_ts) —
+        the metric NAME is not a matching label, exactly as in PromQL,
+        so ``errors.binop(total, 'div', new_metric='error_ratio')`` is
+        the per-bucket ratio of two different metric families.  The
+        result carries ``new_metric`` as its metric."""
+        from fischer_spark.operators.binop import series_binop
+
+        out = series_binop(
+            self.df,
+            other.df,
+            op=op,
+            on=("domain", "tag"),
+            ts_col="bucket_ts",
+            val_col="value",
+            match=match,
+            fill=fill,
+        )
+        return Series(
+            out.select(
+                "domain",
+                F.lit(new_metric).alias("metric"),
+                "tag",
+                "bucket_ts",
+                "value",
+            ),
+            self.tier,
+        )
+
     # -- introspection ------------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

@@ -84,3 +84,22 @@ def test_plan_is_single_sort_merge_or_hash_join(spark):
     assert "Join" in plan
     assert "Cartesian" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_fluent_series_binop(pages):
+    """Two metric families from the same pages combine per (domain, tag,
+    bucket) with the metric name dropped from matching, PromQL-style."""
+    from fischer_spark.api import Series
+
+    cr = Series.from_pages(pages, ("crawl_rate",)).rollup("1h")
+    ps = Series.from_pages(pages, ("page_size",)).rollup("1h")
+    out = cr.binop(ps, "div", new_metric="rate_per_byte")
+    assert out.df.columns == ["domain", "metric", "tag", "bucket_ts", "value"]
+    rows = out.df.limit(5).collect()
+    assert rows and all(r["metric"] == "rate_per_byte" for r in rows)
+    # spot-check buckets against the direct division
+    a = {(r["domain"], r["bucket_ts"]): r["value"] for r in cr.df.collect()}
+    b = {(r["domain"], r["bucket_ts"]): r["value"] for r in ps.df.collect()}
+    got = {(r["domain"], r["bucket_ts"]): r["value"] for r in out.df.collect()}
+    for k, v in list(got.items())[:20]:
+        assert abs(v - a[k] / b[k]) < 1e-12

@@ -1,4 +1,5 @@
-"""Exponential smoothing per series: EWMA and Holt double smoothing.
+"""Exponential smoothing per series: EWMA, Holt double smoothing, and
+additive Holt-Winters triple (seasonal) smoothing.
 
 The recursive forms the read surface needs for trend-following
 dashboards and the PromQL ``holt_winters()`` (double exponential
@@ -36,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-__all__ = ["ewma", "holt"]
+__all__ = ["ewma", "holt", "holt_winters_seasonal"]
 
 
 def _ewma_np(y: np.ndarray, alpha: float) -> np.ndarray:
@@ -111,6 +112,83 @@ def holt(
         level, trend = _holt_np(pdf[val_col].to_numpy("float64"), sf, tf)
         pdf["smoothed"] = level
         pdf["trend"] = trend
+        return pdf
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(_fn, schema=schema)
+
+
+def _hw_np(y: np.ndarray, m: int, a: float, b: float, g: float):
+    """Additive Holt-Winters (triple) recurrence — the public textbook
+    form (NIST/Hyndman):
+
+        level_t  = a*(y_t - season_{t-m}) + (1-a)*(level_{t-1} + trend_{t-1})
+        trend_t  = b*(level_t - level_{t-1}) + (1-b)*trend_{t-1}
+        season_t = g*(y_t - level_t) + (1-g)*season_{t-m}
+
+    Standard initialization over the first two seasons: level = mean of
+    season 1, trend = (mean of season 2 - mean of season 1)/m, initial
+    seasonals = y_i - level for i < m.  fitted_t (one-step-ahead
+    forecast) = level_{t-1} + trend_{t-1} + season_{t-m}, defined from
+    t = m on; NaN before.  Needs n >= 2*m — shorter series return all
+    NaN (no honest seasonal estimate exists).
+    """
+    n = len(y)
+    level = np.full(n, np.nan)
+    trend = np.full(n, np.nan)
+    season = np.full(n, np.nan)
+    fitted = np.full(n, np.nan)
+    if n < 2 * m:
+        return fitted, level, trend, season
+    l_prev = float(np.mean(y[:m]))
+    t_prev = float((np.mean(y[m : 2 * m]) - np.mean(y[:m])) / m)
+    season[:m] = y[:m] - l_prev
+    level[:m] = l_prev
+    trend[:m] = t_prev
+    for i in range(m, n):
+        s_m = season[i - m]
+        fitted[i] = l_prev + t_prev + s_m
+        l_cur = a * (y[i] - s_m) + (1.0 - a) * (l_prev + t_prev)
+        trend[i] = b * (l_cur - l_prev) + (1.0 - b) * t_prev
+        season[i] = g * (y[i] - l_cur) + (1.0 - g) * s_m
+        level[i] = l_cur
+        l_prev, t_prev = l_cur, trend[i]
+    return fitted, level, trend, season
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    m: int = 24,
+    a: float = 0.3,
+    b: float = 0.1,
+    g: float = 0.2,
+) -> DataFrame:
+    """Triple exponential smoothing (additive Holt-Winters) per series
+    key — the seasonal-aware forecaster PromQL's double-smoothing
+    ``holt_winters()`` lacks: `fitted` is the one-step-ahead forecast
+    (level + trend + last season estimate), so `value - fitted` is a
+    seasonality-adjusted residual usable directly as an anomaly signal.
+
+    ``m`` is the season length IN SAMPLES (24 on an hourly tier =
+    day-of-hours).  Same Spark shape as ewma/holt: one grouped Arrow
+    UDF, single Exchange on the key, O(n) loop per series inside the
+    batch (tier rows, never raw samples)."""
+    cols = key_cols + [ts_col, val_col]
+    schema = _out_schema(
+        df.select(*cols), cols, ["fitted", "level", "trend", "season"]
+    )
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        fitted, level, trend, season = _hw_np(
+            pdf[val_col].to_numpy("float64"), m, a, b, g
+        )
+        pdf["fitted"] = fitted
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["season"] = season
         return pdf
 
     return df.select(*cols).groupBy(*key_cols).applyInPandas(_fn, schema=schema)

@@ -912,3 +912,21 @@ def series_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily("error"), daily("click"), op="div", on=("user_id",)
     )
     return out.select("user_id", "bucket_ts", "value")
+
+
+@register("hw_seasonal_events_1h")
+def hw_seasonal_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters TRIPLE smoothing (operators/smooth.py
+    holt_winters_seasonal, m=24 hour-of-day season) over the per-hour
+    mean-value series per event_type: one-step-ahead `fitted` plus
+    level/trend/season states.  Rows-only by design (recursive seasonal
+    state is not SQL-expressible); the kernel is pinned against an
+    independent reference recurrence and a convergence property in
+    tests/test_smooth.py."""
+    from fischer_spark.operators.smooth import holt_winters_seasonal
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.avg("value").alias("value"))
+    return holt_winters_seasonal(series, ["event_type"], m=24)

@@ -113,3 +113,91 @@ def _group(rows):
     for r in rows:
         g.setdefault(r["k"], []).append(r)
     return g
+
+
+def _hw_ref(y, m, a, b, g):
+    """Independent reference: same public textbook recurrence, written
+    as an explicit state machine over python floats (not the shipped
+    array-indexed form)."""
+    import math as _m
+
+    n = len(y)
+    out = [float("nan")] * n
+    if n < 2 * m:
+        return out
+    level = sum(y[:m]) / m
+    trend = (sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m
+    seasons = [y[i] - level for i in range(m)]
+    for t in range(m, n):
+        s = seasons[t % m]
+        out[t] = level + trend + s
+        new_level = a * (y[t] - s) + (1 - a) * (level + trend)
+        new_trend = b * (new_level - level) + (1 - b) * trend
+        seasons[t % m] = g * (y[t] - new_level) + (1 - g) * s
+        level, trend = new_level, new_trend
+    return out
+
+
+def test_hw_kernel_matches_reference_and_short_series_nan():
+    from fischer_spark.operators.smooth import _hw_np
+
+    rng = np.random.default_rng(7)
+    y = rng.normal(50, 5, 100)
+    m, a, b, g = 12, 0.35, 0.15, 0.25
+    fitted, level, trend, season = _hw_np(y, m, a, b, g)
+    ref = _hw_ref(list(y), m, a, b, g)
+    for i in range(100):
+        if math.isnan(ref[i]):
+            assert math.isnan(fitted[i])
+        else:
+            assert abs(fitted[i] - ref[i]) < 1e-9
+
+    short = _hw_np(y[: 2 * m - 1], m, a, b, g)
+    assert all(np.isnan(arr).all() for arr in short)
+
+
+def test_hw_converges_on_exact_seasonal_line():
+    """On y_t = L + T*t + S_{t mod m} the one-step forecast error decays
+    toward zero — the filter locks onto the exact generating process."""
+    from fischer_spark.operators.smooth import _hw_np
+
+    m = 8
+    S = np.array([3.0, -1.0, 0.5, -2.5, 1.0, 2.0, -1.5, -1.5])
+    assert abs(S.sum()) < 1e-12
+    t = np.arange(400)
+    y = 100.0 + 0.25 * t + S[t % m]
+    fitted, *_ = _hw_np(y, m, 0.3, 0.1, 0.2)
+    err = np.abs(y - fitted)
+    head = np.nanmean(err[m : m + 50])
+    tail = np.nanmean(err[-50:])
+    assert tail < head / 10
+    assert tail < 0.05
+
+
+def test_hw_spark_grouped_matches_kernel(spark):
+    from fischer_spark.operators.smooth import _hw_np, holt_winters_seasonal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(11)
+    rows = []
+    vals = {}
+    for k in ("a", "b"):
+        y = rng.normal(10, 2, 60)
+        vals[k] = y
+        rows += [
+            (k, t0 + dt.timedelta(hours=i), float(y[i])) for i in range(60)
+        ]
+    rng.shuffle(rows)  # input order must not matter (UDF sorts per key)
+    df = spark.createDataFrame(rows, "k: string, bucket_ts: timestamp, value: double")
+    out = _group(holt_winters_seasonal(df, ["k"], m=12).collect())
+    for k in ("a", "b"):
+        got = [
+            r["fitted"]
+            for r in sorted(out[k], key=lambda r: r["bucket_ts"])
+        ]
+        want, *_ = _hw_np(vals[k], 12, 0.3, 0.1, 0.2)
+        for gv, wv in zip(got, want):
+            if np.isnan(wv):
+                assert gv is None or math.isnan(gv)
+            else:
+                assert abs(gv - wv) < 1e-9

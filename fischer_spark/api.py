@@ -321,7 +321,9 @@ def query_range(
         )
         derived = with_derived_stats(merged)
         return _range_stat_select(derived, stat, "decimal", fn, fn_args)
-    states = store.read(f"rollup_{tier}")
+    states = store.read(
+        f"rollup_{tier}", t_from=start, t_to=end
+    )  # day-partition pruning when the tier was committed partitioned
     if "key_id" in states.columns:
         # fast-path tier tables carry dictionary-encoded keys; decode via
         # the provided dim or the persisted `key_dim` table the pipeline
@@ -516,7 +518,7 @@ def query_range_hist(
             f"hist_{tier} was built with {s_params}; bin indices are only "
             "meaningful against the build edges"
         )
-    h = store.read(f"hist_{tier}")
+    h = store.read(f"hist_{tier}", t_from=start, t_to=end)
     h = h.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
     )

@@ -63,6 +63,13 @@ class RollupPipeline:
         # (lo, hi, n_bins) because bin edges are family-shaped (bytes vs
         # rates); a bare tuple is accepted as the page_size-only legacy form
         hist_params: dict[str, tuple[float, float, int]] | tuple = None,  # type: ignore[assignment]
+        # day-partition time-keyed tables on commit (Iceberg
+        # days(bucket_ts) hidden-partitioning analogue). Opt-in: at
+        # sandbox scale partitioned writes fan small files out per
+        # (task, day); at cluster scale it is the right default for
+        # tier tables read by time range (reads list only the window's
+        # day directories). See sources/storage.py.
+        partition_days: bool = False,
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -84,6 +91,7 @@ class RollupPipeline:
         elif isinstance(hist_params, tuple):
             hist_params = {"page_size": hist_params}
         self.hist_params = hist_params
+        self.partition_days = partition_days
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
     # -- run-manifest ------------------------------------------------------
@@ -110,7 +118,13 @@ class RollupPipeline:
             return done[stage]
         df = build()
         df = with_lineage(df, self.store.root, self.run_id, stage)
-        snap = self.store.append(table, df)
+        day_col = (
+            "bucket_ts"
+            if self.partition_days
+            and (table.startswith(("rollup_", "hist_")) or table.startswith("series"))
+            else None
+        )
+        snap = self.store.append(table, df, day_col=day_col)
         self._record(stage, snap)
         return snap
 

@@ -65,12 +65,32 @@ class ParquetManifestStore:
 
     # -- commits ----------------------------------------------------------
 
-    def _commit(self, table: str, df: DataFrame | None, op: str, **meta) -> str:
+    def _commit(
+        self,
+        table: str,
+        df: DataFrame | None,
+        op: str,
+        day_col: str | None = None,
+        **meta,
+    ) -> str:
         snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         entry = {"snapshot_id": snap_id, "op": op, **meta}
         if df is not None:
             path = os.path.join(self.root, table, "snapshots", snap_id)
-            df.write.mode("errorifexists").parquet(path)
+            if day_col is not None:
+                # the sandbox analogue of Iceberg hidden partitioning on
+                # days(ts): the derived day is a directory key, never a
+                # data column (read() strips it), and time-ranged reads
+                # prune whole directories before any row is touched
+                (
+                    df.withColumn("_day", F.to_date(F.col(day_col)))
+                    .write.mode("errorifexists")
+                    .partitionBy("_day")
+                    .parquet(path)
+                )
+                entry["day_col"] = day_col
+            else:
+                df.write.mode("errorifexists").parquet(path)
             entry["path"] = path
         m = self._manifest(table)
         entry["parent"] = m["current"]
@@ -79,16 +99,27 @@ class ParquetManifestStore:
         _atomic_write_json(self._manifest_path(table), m)
         return snap_id
 
-    def append(self, table: str, df: DataFrame) -> str:
-        return self._commit(table, df, "append")
+    def append(self, table: str, df: DataFrame, day_col: str | None = None) -> str:
+        """``day_col`` opts the commit into day-partitioned layout —
+        right for tier tables read by time range at scale (a year-long
+        1m table answers a 2-day query by listing 2 directories)."""
+        return self._commit(table, df, "append", day_col=day_col)
 
     def overwrite_range(
-        self, table: str, df: DataFrame, col: str, lo: str, hi: str
+        self,
+        table: str,
+        df: DataFrame,
+        col: str,
+        lo: str,
+        hi: str,
+        day_col: str | None = None,
     ) -> str:
         """Idempotent bucket-range rewrite: rows of `table` with
         col in [lo, hi) are replaced by `df` (the exactly-once unit for
         resume and late-data reprocessing, SURVEY.md §4.2)."""
-        return self._commit(table, df, "overwrite_range", col=col, lo=lo, hi=hi)
+        return self._commit(
+            table, df, "overwrite_range", day_col=day_col, col=col, lo=lo, hi=hi
+        )
 
     def delete_below(self, table: str, col: str, cutoff: str) -> str:
         """Retention: logically drop rows with col < cutoff."""
@@ -96,9 +127,22 @@ class ParquetManifestStore:
 
     # -- reads ------------------------------------------------------------
 
-    def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        snapshot_id: str | None = None,
+        t_from: str | None = None,
+        t_to: str | None = None,
+    ) -> DataFrame:
         """Fold the snapshot chain up to `snapshot_id` (default current) —
-        the manifest replay of Iceberg's `VERSION AS OF`."""
+        the manifest replay of Iceberg's `VERSION AS OF`.
+
+        ``t_from``/``t_to`` (timestamp strings) enable PARTITION PRUNING
+        on day-partitioned snapshots: a conservative whole-day bound —
+        boundary-day rows outside the exact window survive, callers
+        apply their exact row filters as before (the same contract as
+        Iceberg partition pruning vs residual predicates).  Unpartitioned
+        snapshots in the chain are unaffected."""
         m = self._manifest(table)
         target = snapshot_id or m["current"]
         if target is None:
@@ -110,13 +154,24 @@ class ParquetManifestStore:
                 break
         else:
             raise ValueError(f"snapshot {target!r} not found in {table!r}")
+        def _load(e: dict) -> DataFrame:
+            part = self.spark.read.parquet(e["path"])
+            if "_day" in part.columns:
+                if t_from is not None:
+                    part = part.filter(F.col("_day") >= F.to_date(F.lit(t_from)))
+                if t_to is not None:
+                    # inclusive day bound: t_to may be exclusive mid-day
+                    part = part.filter(F.col("_day") <= F.to_date(F.lit(t_to)))
+                part = part.drop("_day")
+            return part
+
         df: DataFrame | None = None
         for e in chain:
             if e["op"] == "append":
-                part = self.spark.read.parquet(e["path"])
+                part = _load(e)
                 df = part if df is None else df.unionByName(part)
             elif e["op"] == "overwrite_range":
-                part = self.spark.read.parquet(e["path"])
+                part = _load(e)
                 if df is not None:
                     c = F.col(e["col"])
                     df = df.filter(~((c >= F.lit(e["lo"])) & (c < F.lit(e["hi"]))))
@@ -180,14 +235,34 @@ class ParquetManifestStore:
 
     def compact(self, table: str) -> str:
         """Rewrite the folded view as a single fresh append chain (the
-        manifest analogue of Iceberg rewrite_data_files + expire_snapshots)."""
+        manifest analogue of Iceberg rewrite_data_files + expire_snapshots).
+        The partition spec survives: if any commit in the chain was
+        day-partitioned, the compacted snapshot is too."""
+        day_col = next(
+            (
+                e.get("day_col")
+                for e in reversed(self._manifest(table)["snapshots"])
+                if e.get("day_col")
+            ),
+            None,
+        )
         df = self.read(table).cache()
         df.count()
         snap = f"compact-{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.root, table, "snapshots", snap)
-        df.write.mode("errorifexists").parquet(path)
+        entry = {"snapshot_id": snap, "op": "append", "path": path, "parent": None}
+        if day_col is not None:
+            (
+                df.withColumn("_day", F.to_date(F.col(day_col)))
+                .write.mode("errorifexists")
+                .partitionBy("_day")
+                .parquet(path)
+            )
+            entry["day_col"] = day_col
+        else:
+            df.write.mode("errorifexists").parquet(path)
         m = {
-            "snapshots": [{"snapshot_id": snap, "op": "append", "path": path, "parent": None}],
+            "snapshots": [entry],
             "current": snap,
             # table properties survive compaction (Iceberg semantics)
             "meta": self._manifest(table).get("meta", {}),

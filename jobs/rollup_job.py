@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
         "(refresh_cascade — O(tiers x delta), touched buckets only) instead "
         "of running the full pipeline",
     )
+    ap.add_argument(
+        "--partition-days",
+        action="store_true",
+        help="commit time-keyed tables day-partitioned (Iceberg "
+        "days(bucket_ts) analogue) so range reads prune whole day "
+        "directories — the right default at cluster scale",
+    )
     ap.add_argument("--until", default=None, help="stop after this stage (debug/crash-test)")
     ap.add_argument(
         "--retain-as-of",
@@ -202,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, store, args.run_id, salt_k=args.salt_k, tau=args.tau,
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
         hist=args.hist or bool(args.hist_family), hist_params=hist_params,
+        partition_days=args.partition_days,
     )
     snaps = pipe.run(pages, until=args.until)
     if args.encode_keys and "key_dim" in snaps:

@@ -182,3 +182,35 @@ def test_hist_pipeline_stage(spark, tmp_path, small_pages):
     assert "key_id" in f1d.columns
     assert f1d.agg(F.sum("bin_cnt")).collect()[0][0] == \
         store.read("hist_1d").agg(F.sum("bin_cnt")).collect()[0][0]
+
+
+def test_partition_days_pipeline_equivalent_and_pruned(spark, tmp_path, small_pages):
+    """partition_days=True commits tier tables day-partitioned; results
+    are identical to the unpartitioned run and query_range reads prune
+    day directories."""
+    from fischer_spark.api import query_range
+
+    root_a, root_b = str(tmp_path / "plain"), str(tmp_path / "days")
+    sa, sb = ParquetManifestStore(spark, root_a), ParquetManifestStore(spark, root_b)
+    RollupPipeline(spark, sa, "r").run(small_pages)
+    RollupPipeline(spark, sb, "r", partition_days=True).run(small_pages)
+
+    entry = sb.snapshots("rollup_1h")[0]
+    assert entry["day_col"] == "bucket_ts"
+    days = [p for p in os.listdir(entry["path"]) if p.startswith("_day=")]
+    assert len(days) > 1
+
+    for table in ("series", "rollup_1m", "rollup_1h", "rollup_1d"):
+        assert sa.read(table).exceptAll(sb.read(table)).count() == 0, table
+        assert sb.read(table).exceptAll(sa.read(table)).count() == 0, table
+
+    lo, hi = sb.read("rollup_1h").agg(
+        F.min("bucket_ts"), F.max("bucket_ts")
+    ).first()
+    start = str(lo.replace(hour=0, minute=0, second=0, microsecond=0))
+    end = str(lo.replace(hour=0) + __import__("datetime").timedelta(days=1))
+    a = query_range(sa, "crawl_rate", start, end, 3600)
+    b = query_range(sb, "crawl_rate", start, end, 3600)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "_day" in plan  # partition filter reached the scan

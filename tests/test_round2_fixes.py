@@ -66,7 +66,7 @@ def test_query_range_uses_persisted_key_dim_without_series_scan(spark, tmp_path)
     store = _mini_store(spark, str(tmp_path / "w"), encode=True)
     reads: list[str] = []
     orig = store.read
-    store.read = lambda table, snapshot_id=None: (reads.append(table), orig(table, snapshot_id))[1]
+    store.read = lambda table, snapshot_id=None, **kw: (reads.append(table), orig(table, snapshot_id, **kw))[1]
 
     out = query_range(store, "crawl_rate", "2024-01-01", "2024-01-02", step_s=3600)
     assert out.count() == 10

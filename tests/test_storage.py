@@ -64,3 +64,59 @@ def test_compact_preserves_data(spark, store):
 def test_missing_table_raises(store):
     with pytest.raises(ValueError):
         store.read("nope")
+
+
+def test_day_partitioned_commit_layout_and_read(spark, store, tmp_path):
+    """day_col commits write _day=... directories; read() strips the
+    partition key and a time-ranged read prunes whole days while
+    boundary-day rows survive conservatively."""
+    import os
+
+    rows = [("a", d, h, d * 100 + h) for d in (1, 2, 3, 4) for h in (0, 12)]
+    store.append("t", _pts(spark, rows), day_col="bucket_ts")
+    snap_dir = store.snapshots("t")[0]["path"]
+    days = sorted(p for p in os.listdir(snap_dir) if p.startswith("_day="))
+    assert days == [f"_day=2024-01-0{d}" for d in (1, 2, 3, 4)]
+
+    full = store.read("t")
+    assert "_day" not in full.columns and full.count() == 8
+
+    # window [Jan 2 06:00, Jan 3 06:00): day pruning keeps days 2-3 whole
+    got = store.read("t", t_from="2024-01-02 06:00:00", t_to="2024-01-03 06:00:00")
+    assert got.count() == 4  # both hours of both boundary days survive
+    # the pruned read IS a partition filter: only 2 of 4 day dirs scanned
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_day" in plan
+
+    # exact row filter on top gives the precise window, as callers do
+    exact = got.filter(
+        (F.col("bucket_ts") >= "2024-01-02 06:00:00")
+        & (F.col("bucket_ts") < "2024-01-03 06:00:00")
+    )
+    assert exact.count() == 2
+
+
+def test_partitioned_and_plain_commits_fold_together(spark, store):
+    store.append("t", _pts(spark, [("a", 1, 0, 1.0)]), day_col="bucket_ts")
+    store.append("t", _pts(spark, [("a", 2, 0, 2.0)]))  # unpartitioned
+    store.overwrite_range(
+        "t", _pts(spark, [("a", 1, 0, 9.0)]), "bucket_ts",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", day_col="bucket_ts",
+    )
+    got = {r["bucket_ts"].day: r["value"] for r in store.read("t").collect()}
+    assert got == {1: 9.0, 2: 2.0}
+
+
+def test_compact_preserves_partition_spec(spark, store):
+    import os
+
+    for d in (1, 2):
+        store.append("t", _pts(spark, [("a", d, 0, float(d))]), day_col="bucket_ts")
+    snap = store.compact("t")
+    entry = store.snapshots("t")[0]
+    assert entry["snapshot_id"] == snap and entry["day_col"] == "bucket_ts"
+    days = [p for p in os.listdir(entry["path"]) if p.startswith("_day=")]
+    assert len(days) == 2
+    assert store.read("t").count() == 2
+    # pruning still works after compaction
+    assert store.read("t", t_from="2024-01-02 00:00:00").count() == 1

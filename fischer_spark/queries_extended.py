@@ -930,3 +930,35 @@ def hw_seasonal_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
     ).agg(F.avg("value").alias("value"))
     return holt_winters_seasonal(series, ["event_type"], m=24)
+
+
+# --------------------------------------------------------------------------
+# O74 — series-cardinality monitor (label-set explosion guard)
+# --------------------------------------------------------------------------
+
+@register(
+    "series_cardinality_events",
+    """
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         CAST(count(DISTINCT user_id || '\\x1f' || event_type) AS BIGINT) AS n_series,
+         CAST(count(*) AS BIGINT) AS n_samples
+  FROM events GROUP BY 1
+""",
+)
+def series_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-cardinality monitor: distinct active label sets per day —
+    THE operational guard for a TSDB (label explosions kill index and
+    rollup shuffle alike; Prometheus exposes the same count as
+    prometheus_tsdb_head_series).  Exact form for the gate; at 100 TB
+    the same query runs with approx_count_distinct (documented dial).
+    The distinct key concatenates labels with an unprintable separator
+    so ('ab','c') never collides with ('a','bc') in either engine."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    key = F.concat_ws("\x1f", F.col("user_id").cast("string"), F.col("event_type"))
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"))
+        .agg(
+            F.count_distinct(key).alias("n_series"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )

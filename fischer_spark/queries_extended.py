@@ -962,3 +962,58 @@ def series_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O76 — ordered funnel conversion (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+@register(
+    "funnel_conversion_events",
+    """
+  WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY 1
+  )
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+    CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+             THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+    CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click
+             THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+  FROM firsts
+""",
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first click
+    precedes their first purchase — the strict-order conversion count
+    (a later-stage event before the earlier stage does not convert).
+    One partial-aggregated groupBy per user + one global fold: two
+    Exchanges total, no window, exact integers (hash-safe).  NULL
+    comparisons are naturally strict: t_click > t_view is NULL (false)
+    when either stage is missing — identical semantics in both engines."""
+    ev = scan_testdata(spark, sf_dir, "events")
+
+    def first_of(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(viewed).alias("stage_view"),
+        one(clicked).alias("stage_click"),
+        one(purchased).alias("stage_purchase"),
+    )

@@ -194,3 +194,26 @@ def test_quantile_exact_no_second_exchange(spark):
     assert p.count(") Exchange") == 1
     assert p.count(") Sort") == 1
     assert p.count(") Window") == 2
+
+
+def test_funnel_two_exchange_partial_agg(spark):
+    """funnel_conversion_events: the per-user firsts aggregate and the
+    global fold each partial-aggregate map-side — two Exchanges total
+    (user hash, then single-partition fold), no Window, no join."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["funnel_conversion_events"](spark, SF))
+    assert p.count(") Exchange") == 2
+    assert ") Window" not in p and "Join" not in p
+    assert p.count("HashAggregate") >= 3  # partial+final per level
+
+
+def test_series_cardinality_partial_distinct(spark):
+    """series_cardinality_events: count_distinct expands to the two-level
+    distinct aggregate (partial dedup before the shuffle), never a raw
+    row shuffle."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["series_cardinality_events"](spark, SF))
+    assert p.count("HashAggregate") >= 3
+    assert "Join" not in p

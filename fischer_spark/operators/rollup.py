@@ -151,6 +151,40 @@ def rollup_states(states: DataFrame, tier: str) -> DataFrame:
     )
 
 
+CALENDAR_UNITS = {"1w": "week", "1mo": "month", "1y": "year"}
+
+
+def rollup_states_calendar(states: DataFrame, tier: str) -> DataFrame:
+    """Finer-tier states → a CALENDAR tier (ISO week / month / year), by
+    exact state addition (O77).
+
+    Calendar buckets have variable width, so the integer-epoch `bucketize`
+    fast path does not apply (functions/time.py documents the allowlist);
+    `date_trunc` is correct here and cheap because the input is TIER
+    STATES — one row per (key, day), ~1/86 400th of raw at 1s cadence —
+    not the raw volume.  The right cascade is raw→1m→1h→1d→1mo→1y: the
+    calendar merge only ever re-aggregates the 1d table.  State algebra
+    is the same exact decimal/long addition as `rollup_states`, so
+    month/year rows match a direct calendar aggregation of raw
+    bit-for-bit (asserted in tests and oracle-gated by
+    `rollup_1mo_cascade_events`)."""
+    unit = CALENDAR_UNITS[tier]
+    impl = "fixed64" if "sq_aa" in states.columns else "decimal"
+    bucket = F.date_trunc(unit, "bucket_ts").alias("bucket_ts")
+    keys = _keys_of(states)
+    out = (
+        states.groupBy(*keys, bucket)
+        .agg(*_state_aggs(impl))
+        .withColumn("tier", F.lit(tier))
+        .select(*keys, "tier", "bucket_ts", *state_cols(impl))
+    )
+    if is_ntz(states, "bucket_ts"):
+        # date_trunc preserves NTZ in Spark 4, but pin it explicitly so the
+        # tier schema never depends on version behavior
+        out = out.withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp_ntz"))
+    return out
+
+
 def rollup_points_salted(points: DataFrame, tier: str, salt_k: int = 16, impl: str = "decimal") -> DataFrame:
     """Two-phase skew-safe rollup: partial agg on (key, bucket, salt), then
     exact combine on (key, bucket).  Salt is a deterministic hash of the

@@ -171,6 +171,35 @@ def rollup_1d_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_1w_calendar_events",
+    f"""
+    WITH states AS (
+      SELECT event_type AS domain, date_trunc('week', ts) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    {_STATE_SQL_BODY}
+    """,
+)
+def rollup_1w_calendar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-tier rollup (O77): ISO-week states computed by CASCADING
+    1m→1h→1d fixed tiers then calendar-merging the 1d states
+    (`rollup_states_calendar`); the oracle aggregates raw directly at
+    date_trunc('week').  Passing proves calendar buckets (variable-width,
+    Monday-aligned — NOT epoch-floor 7d, which lands on Thursdays)
+    compose exactly from the fixed-tier cascade, the property the 1mo/1y
+    retention tiers rely on (tests cover month/year the same way)."""
+    from fischer_spark.operators.rollup import rollup_states_calendar
+
+    pts = _events_series(spark, sf_dir)
+    t1d = rollup_states(rollup_states(rollup_points(pts, "1m"), "1h"), "1d")
+    return _derived_select(rollup_states_calendar(t1d, "1w"))
+
+
+@register(
     "query_range_2h_events",
     f"""
     WITH states AS (

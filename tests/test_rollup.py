@@ -183,3 +183,51 @@ def test_bucketize_equals_date_trunc(spark):
             ~F.date_trunc(unit, "ts").eqNullSafe(bucketize("ts", tier))
         ).count()
         assert bad == 0, tier
+
+
+def test_calendar_tier_parity(points):
+    """O77: 1w/1mo/1y calendar states merged from the 1d cascade equal a
+    direct calendar aggregation of raw points, bit-for-bit — the same
+    exact-state-algebra guarantee the fixed tiers have."""
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.rollup import rollup_states_calendar
+
+    t1d = rollup_states(rollup_states(rollup_points(points, "1m"), "1h"), "1d")
+    for tier, unit in (("1w", "week"), ("1mo", "month"), ("1y", "year")):
+        cascaded = rollup_states_calendar(t1d, tier)
+        direct = (
+            points.groupBy(
+                "domain", "metric", "tag",
+                F.date_trunc(unit, "bucket_ts").alias("bucket_ts"),
+            )
+            .agg(
+                F.count("value").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("sum"),
+                F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)")).alias("sum_sq"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+            )
+            .withColumn("tier", F.lit(tier))
+            .select("domain", "metric", "tag", "tier", "bucket_ts",
+                    "cnt", "sum", "sum_sq", "min", "max")
+        )
+        assert_df_equal(direct, cascaded)
+        # week buckets are Monday-aligned (ISO), not epoch-floor (Thursday)
+        if tier == "1w":
+            bad = cascaded.filter(F.dayofweek("bucket_ts") != 2).count()
+            assert bad == 0
+
+
+def test_calendar_tier_fixed64_and_unknown(points):
+    """Calendar merge infers the fixed64 impl from state columns; unknown
+    tiers fail loudly (allowlist, same policy as bucketize)."""
+    import pytest as _pt
+
+    from fischer_spark.operators.rollup import rollup_states_calendar
+
+    t1d_f = rollup_states(rollup_points(points, "1h", impl="fixed64"), "1d")
+    mo = rollup_states_calendar(t1d_f, "1mo")
+    assert "sq_aa" in mo.columns and mo.count() > 0
+    with _pt.raises(KeyError):
+        rollup_states_calendar(t1d_f, "10d")

@@ -86,3 +86,73 @@ def lttb_downsample(
         return pdf.iloc[idx]
 
     return clean.groupBy(*key_cols).applyInPandas(_one, schema=clean.select(*cols).schema)
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    n_px: int = 400,
+) -> DataFrame:
+    """O78 — M4 visualization downsample (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014 —
+    public): split each series' time extent into ``n_px`` pixel buckets
+    and keep per bucket the four points a line renderer needs for a
+    pixel-perfect plot: first, last, min and max.  Unlike LTTB this IS
+    expressible as relational algebra, so it stays entirely JVM-side
+    (whole-stage codegen, no Arrow hop) — the right default for dashboard
+    reads; LTTB is the shape-quality upgrade when n_px is very small.
+
+    Plan shape: per-key extents (partial-agg groupBy, tiny) broadcast
+    back, then ONE shuffle on (key, px) feeding a window + final agg that
+    share the same partitioning.  Pixel index is exact integer µs
+    arithmetic: px = (n_px · (t − t0)) div (span + 1) — the +1 makes the
+    max timestamp land in bucket n_px−1 and a single-point series well-
+    defined; all quantities are non-negative so `div` (truncation) IS
+    floor, identical in any engine.  Ties on (ts, value) are resolved by
+    ordering on both, so duplicate timestamps cannot flip first/last
+    run-to-run (the same determinism rule as lttb_downsample).
+
+    Returns one row per (key, px): t_first/v_first, t_last/v_last,
+    v_min/v_max, n_pts.  Output size ≤ n_px per series regardless of
+    input volume — a 10^9-point series reads back as ≤400 rows.
+    """
+    from pyspark.sql import Window, functions as F
+
+    clean = df.na.drop(subset=[ts_col, val_col])
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ext = clean.groupBy(*key_cols).agg(
+        F.min(m).alias("_t0"), F.max(m).alias("_t1")
+    )
+    b = clean.join(F.broadcast(ext), key_cols)
+    # `div` is integral division (long÷long→long, no double round-trip —
+    # n_px·span can exceed 2^53 where double floor misplaces boundary rows)
+    b = (
+        b.withColumn("_num", F.lit(n_px) * (m - F.col("_t0")))
+        .withColumn("_den", F.col("_t1") - F.col("_t0") + F.lit(1))
+        .withColumn("px", F.expr("_num div _den"))
+    )
+    w = (
+        Window.partitionBy(*key_cols, "px")
+        .orderBy(ts_col, val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    b = b.select(
+        *key_cols,
+        "px",
+        F.col(val_col).alias("_v"),
+        F.first(ts_col).over(w).alias("t_first"),
+        F.first(val_col).over(w).alias("v_first"),
+        F.last(ts_col).over(w).alias("t_last"),
+        F.last(val_col).over(w).alias("v_last"),
+    )
+    return b.groupBy(*key_cols, "px").agg(
+        F.min("t_first").alias("t_first"),
+        F.min("v_first").alias("v_first"),
+        F.min("t_last").alias("t_last"),
+        F.min("v_last").alias("v_last"),
+        F.min("_v").alias("v_min"),
+        F.max("_v").alias("v_max"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )

@@ -1017,3 +1017,57 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(clicked).alias("stage_click"),
         one(purchased).alias("stage_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# O78 — M4 visualization downsample (pixel-bucket first/last/min/max)
+# --------------------------------------------------------------------------
+
+@register(
+    "m4_events_64px",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, ts, value FROM events
+  ),
+  ext AS (
+    SELECT domain, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+    FROM pts GROUP BY 1
+  ),
+  b AS (
+    SELECT p.domain, p.ts, p.value,
+           (64 * (epoch_us(p.ts) - e.t0)) // (e.t1 - e.t0 + 1) AS px
+    FROM pts p JOIN ext e USING (domain)
+  ),
+  w AS (
+    SELECT domain, px, value,
+           first_value(ts)    OVER win AS t_first,
+           first_value(value) OVER win AS v_first,
+           last_value(ts)     OVER win AS t_last,
+           last_value(value)  OVER win AS v_last
+    FROM b
+    WINDOW win AS (PARTITION BY domain, px ORDER BY ts, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  )
+  SELECT domain, px,
+         min(t_first) AS t_first, min(v_first) AS v_first,
+         min(t_last)  AS t_last,  min(v_last)  AS v_last,
+         min(value) AS v_min, max(value) AS v_max,
+         CAST(count(*) AS BIGINT) AS n_pts
+  FROM w GROUP BY 1, 2
+""",
+)
+def m4_events_64px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsample (O78) of each event_type's raw value series to 64
+    pixel buckets — the JVM-only dashboard read path (operators/
+    downsample.py m4_downsample; LTTB is the Arrow-UDF alternative and
+    stays rows-only).  Exact integer-µs pixel math and (ts, value)
+    tie-ordering make every output column hash-safe."""
+    from fischer_spark.operators.downsample import m4_downsample
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("domain"),
+        F.col("ts").alias("bucket_ts"),
+        "value",
+    )
+    return m4_downsample(pts, ["domain"], n_px=64)

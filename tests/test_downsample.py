@@ -111,3 +111,85 @@ def test_lttb_invariants_property(vals, n_out):
     assert len(idx) == min(n_out, len(vals))
     assert idx[0] == 0 and idx[-1] == len(vals) - 1
     assert np.all(np.diff(idx) > 0)
+
+
+# ---------------------------------------------------------------------------
+# O78 — M4 pixel-bucket downsample
+# ---------------------------------------------------------------------------
+
+def _m4_input(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    rng = random.Random(7)
+    for d in ("a", "b"):
+        for i in range(5_000):
+            rows.append((d, base + datetime.timedelta(seconds=i * 13), rng.uniform(-5, 5)))
+    # single-point series: span 0 must still be well-defined
+    rows.append(("single", base, 1.5))
+    # duplicate-timestamp series: tie-break must be deterministic
+    for v in (3.0, 1.0, 2.0):
+        rows.append(("dup", base, v))
+    return spark.createDataFrame(rows, "domain string, bucket_ts timestamp, value double")
+
+
+def test_m4_invariants(spark):
+    from fischer_spark.operators.downsample import m4_downsample
+
+    df = _m4_input(spark).cache()
+    out = m4_downsample(df, ["domain"], n_px=50).cache()
+    pdf = out.toPandas()
+
+    # <= n_px buckets per series; px in [0, n_px)
+    per = pdf.groupby("domain").size()
+    assert (per <= 50).all()
+    assert pdf.px.between(0, 49).all()
+
+    # global first/last samples survive in the edge buckets
+    agg = df.groupBy("domain").agg(
+        F.min("bucket_ts").alias("t0"), F.max("bucket_ts").alias("t1"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    ).toPandas().set_index("domain")
+    for d in ("a", "b"):
+        g = pdf[pdf.domain == d]
+        assert g[g.px == g.px.min()].t_first.iloc[0] == agg.loc[d].t0
+        assert g[g.px == g.px.max()].t_last.iloc[0] == agg.loc[d].t1
+        assert g.v_min.min() == agg.loc[d].vmin
+        assert g.v_max.max() == agg.loc[d].vmax
+        assert g.n_pts.sum() == agg.loc[d].n
+
+    # per-bucket min/max match a brute recompute on bucket membership
+    brute = df.filter(F.col("domain") == "a").toPandas()
+    t0 = brute.bucket_ts.min(); t1 = brute.bucket_ts.max()
+    span = int((t1 - t0).total_seconds() * 1e6) + 1
+    brute["px"] = (50 * ((brute.bucket_ts - t0).dt.total_seconds() * 1e6).astype("int64")) // span
+    bm = brute.groupby("px").value.agg(["min", "max"])
+    ga = pdf[pdf.domain == "a"].set_index("px").sort_index()
+    assert (ga.v_min == bm["min"]).all() and (ga.v_max == bm["max"]).all()
+
+    # single-point series: one bucket, all four points equal it
+    s = pdf[pdf.domain == "single"]
+    assert len(s) == 1 and s.n_pts.iloc[0] == 1
+    assert s.v_first.iloc[0] == s.v_last.iloc[0] == s.v_min.iloc[0] == s.v_max.iloc[0] == 1.5
+
+    # duplicate timestamps: first = smallest value, last = largest (ts, value order)
+    dup = pdf[pdf.domain == "dup"]
+    assert len(dup) == 1
+    assert dup.v_first.iloc[0] == 1.0 and dup.v_last.iloc[0] == 3.0
+    assert dup.v_min.iloc[0] == 1.0 and dup.v_max.iloc[0] == 3.0
+
+
+def test_m4_stays_jvm_side(spark):
+    """M4 must stay whole-stage-codegen relational ops — no Arrow/Python
+    eval node anywhere in the plan (that's LTTB's lane)."""
+    from fischer_spark.operators.downsample import m4_downsample
+
+    df = _m4_input(spark)
+    plan = m4_downsample(df, ["domain"], n_px=50)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # tiny per-key extents broadcast back; ONE main shuffle on (key, px)
+    # shared by the sort, the window and the final aggregate
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # extents agg + (key, px)

@@ -82,3 +82,25 @@ def series_binop(
     if match == "left" and fill is not None:
         vb = F.coalesce(vb, F.lit(float(fill)))
     return j.select(*on, ts_col, _op_expr(op, F.col("_va"), vb).alias("value"))
+
+
+def series_offset(
+    df: DataFrame, offset_s: int, ts_col: str = "bucket_ts"
+) -> DataFrame:
+    """O79 — PromQL ``offset``: re-stamp each sample ``offset_s`` seconds
+    LATER so the past sample pairs with the present one under the binop
+    equi-join (``x / (x offset 7d)`` = week-over-week ratio).
+
+    Pure integer-µs arithmetic on the timestamp column (same fast path as
+    bucketize — no calendar logic, no Python), type-preserving for NTZ.
+    A calendar-aware shift ("same day last month") belongs to the
+    calendar tiers (rollup_states_calendar), not here: PromQL offsets are
+    fixed durations by definition."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = isinstance(df.schema[ts_col].dataType, TimestampNTZType)
+    c = F.col(ts_col).cast("timestamp") if ntz else F.col(ts_col)
+    shifted = F.timestamp_micros(F.unix_micros(c) + F.lit(int(offset_s) * 1_000_000))
+    if ntz:
+        shifted = shifted.cast("timestamp_ntz")
+    return df.withColumn(ts_col, shifted)

@@ -1071,3 +1071,43 @@ def m4_events_64px(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return m4_downsample(pts, ["domain"], n_px=64)
+
+
+# --------------------------------------------------------------------------
+# O79 — PromQL offset: week-over-week comparison via time-shifted binop
+# --------------------------------------------------------------------------
+
+@register(
+    "wow_ratio_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  prev AS (
+    SELECT domain, bucket_ts + INTERVAL 7 DAY AS bucket_ts, value
+    FROM pts
+  )
+  SELECT p.domain, p.bucket_ts,
+         CASE WHEN q.value <> 0 THEN p.value / q.value END AS value
+  FROM pts p JOIN prev q USING (domain, bucket_ts)
+""",
+)
+def wow_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate / (rate offset 7d)`` (O79): week-over-week ratio of
+    the hourly event rate per event_type — series_offset re-stamps last
+    week's samples +7d so series_binop's (label, ts) equi-join pairs them
+    with this week's.  Counts are exact integers, the single division is
+    hash-deterministic; one shuffle per side on the shared join key."""
+    from fischer_spark.operators.binop import series_binop, series_offset
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    rate = ev.groupBy(
+        F.col("event_type").alias("domain"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    out = series_binop(
+        rate, series_offset(rate, 7 * 86_400), op="div", on=("domain",)
+    )
+    return out.select("domain", "bucket_ts", "value")

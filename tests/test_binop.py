@@ -103,3 +103,26 @@ def test_fluent_series_binop(pages):
     got = {(r["domain"], r["bucket_ts"]): r["value"] for r in out.df.collect()}
     for k, v in list(got.items())[:20]:
         assert abs(v - a[k] / b[k]) < 1e-12
+
+
+def test_series_offset_pairs_past_with_present(spark):
+    """O79: x / (x offset 1h) — each sample divides by the previous hour's,
+    the first hour has no pair; NTZ timestamp type is preserved."""
+    import datetime
+
+    from fischer_spark.operators.binop import series_binop, series_offset
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + datetime.timedelta(hours=h), float(2**h)) for h in range(5)
+    ]
+    df = spark.createDataFrame(rows, "domain string, bucket_ts timestamp_ntz, value double")
+    shifted = series_offset(df, 3600)
+    assert dict(shifted.dtypes)["bucket_ts"] == "timestamp_ntz"
+    out = series_binop(df, shifted, op="div", on=("domain",)).collect()
+    assert len(out) == 4  # first hour unmatched
+    assert all(abs(r["value"] - 2.0) < 1e-12 for r in out)  # doubling series
+
+    # negative offset pairs the FUTURE sample (offset -1h)
+    back = series_binop(df, series_offset(df, -3600), op="div", on=("domain",)).collect()
+    assert len(back) == 4 and all(abs(r["value"] - 0.5) < 1e-12 for r in back)

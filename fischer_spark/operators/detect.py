@@ -404,3 +404,67 @@ def robust_seasonal_score(
         "mad",
         score.alias("score"),
     )
+
+
+def alert_for_intervals(
+    series: DataFrame,
+    cond,
+    tier: str = "1h",
+    for_s: int = 0,
+    alertname: str = "alert",
+) -> DataFrame:
+    """O80 — Prometheus-style alert rule evaluation with a ``for``
+    duration: the condition must hold on CONSECUTIVE tier buckets; the
+    alert is `pending` from the first true bucket and `firing` once the
+    run has covered ``for_s`` seconds.
+
+    This is deliberately NOT anomaly_intervals' islanding: O28 merges
+    consecutive *present* flagged rows (a quiet gap between two anomalous
+    bursts joins them — right for incident grouping), while an alert
+    timer RESETS on any bucket where the condition didn't hold, including
+    missing buckets.  Islands are keyed on bucket_index − row_number —
+    exact integer arithmetic that breaks on any gap in the bucket grid.
+
+    One shuffle on the series key (window + groupBy share it).  Output:
+    (key, alertname, state, starts_at, fires_at, ends_at, n_buckets)
+    with fires_at = starts_at + for_s, NULL while only pending — the
+    ALERTS{alertstate=...} surface a recording/alerting layer serves.
+    """
+    from fischer_spark.functions.time import TIER_STEP_US, is_ntz
+
+    step_us = TIER_STEP_US[tier]
+    w = Window.partitionBy(*KEY_COLS).orderBy("bucket_ts")
+    ntz = is_ntz(series, "bucket_ts")
+    m = F.unix_micros(
+        F.col("bucket_ts").cast("timestamp") if ntz else F.col("bucket_ts")
+    )
+    hot = (
+        series.filter(cond)
+        .withColumn("_idx", (m / F.lit(step_us)).cast("long"))
+        .withColumn("_island", F.col("_idx") - F.row_number().over(w))
+    )
+    dur = F.col("n_buckets") * F.lit(step_us // 1_000_000)
+    fires_at = F.timestamp_micros(
+        F.unix_micros(F.col("starts_at").cast("timestamp")) + F.lit(int(for_s) * 1_000_000)
+    )
+    if ntz:
+        fires_at = fires_at.cast("timestamp_ntz")
+    return (
+        hot.groupBy(*KEY_COLS, "_island")
+        .agg(
+            F.min("bucket_ts").alias("starts_at"),
+            F.max("bucket_ts").alias("ends_at"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .withColumn("alertname", F.lit(alertname))
+        .withColumn(
+            "state", F.when(dur >= F.lit(int(for_s)), "firing").otherwise("pending")
+        )
+        .withColumn(
+            "fires_at", F.when(F.col("state") == "firing", fires_at)
+        )
+        .select(
+            *KEY_COLS, "alertname", "state",
+            "starts_at", "fires_at", "ends_at", "n_buckets",
+        )
+    )

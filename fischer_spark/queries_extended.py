@@ -1111,3 +1111,58 @@ def wow_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate, series_offset(rate, 7 * 86_400), op="div", on=("domain",)
     )
     return out.select("domain", "bucket_ts", "value")
+
+
+# --------------------------------------------------------------------------
+# O80 — alert rule evaluation with a `for` duration (ALERTS surface)
+# --------------------------------------------------------------------------
+
+@register(
+    "alerts_for_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, 'event_rate' AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 4
+  ),
+  hot AS (
+    SELECT domain, metric, tag, bucket_ts,
+           epoch_us(bucket_ts) // 3600000000 AS idx,
+           row_number() OVER (PARTITION BY domain ORDER BY bucket_ts) AS rn
+    FROM pts WHERE value >= 3
+  )
+  SELECT domain, metric, tag,
+         'high_rate' AS alertname,
+         CASE WHEN count(*) * 3600 >= 10800 THEN 'firing' ELSE 'pending' END AS state,
+         min(bucket_ts) AS starts_at,
+         CASE WHEN count(*) * 3600 >= 10800
+              THEN min(bucket_ts) + INTERVAL 3 HOUR END AS fires_at,
+         max(bucket_ts) AS ends_at,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM hot GROUP BY domain, metric, tag, idx - rn
+""",
+)
+def alerts_for_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting read (O80): `event_rate >= 3 for 3h` per event_type on
+    the hourly tier — pending/firing islands whose timer RESETS on any
+    hour where the rate dipped or the bucket is missing (bucket-index −
+    row_number islanding; anomaly_intervals' row-consecutive islanding
+    would wrongly bridge quiet gaps).  All outputs are exact integers /
+    timestamps — hash-safe."""
+    from fischer_spark.operators.detect import alert_for_intervals
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    rate = (
+        ev.groupBy(
+            F.col("event_type").alias("domain"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("event_rate"))
+        .withColumn("tag", F.lit(None).cast("string"))
+    )
+    return alert_for_intervals(
+        rate, F.col("value") >= 3, tier="1h", for_s=3 * 3600, alertname="high_rate"
+    )

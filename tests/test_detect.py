@@ -130,3 +130,44 @@ def test_robust_seasonal_score_outlier_resistance(spark):
     vals = [100.0 + i for i in range(10)] + [10_000.0]
     z_outlier = (10_000.0 - statistics.mean(vals)) / statistics.stdev(vals)
     assert z_outlier < 3.2
+
+
+def test_alert_for_intervals_gap_resets_timer(spark):
+    """O80: the `for` timer resets on a missing bucket — two 2h-true runs
+    separated by a silent hour stay `pending` under for=3h, while an
+    unbroken 3h run fires at starts_at + 3h."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.detect import alert_for_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def row(domain, h, v):
+        return (domain, "m", None, base + datetime.timedelta(hours=h), float(v))
+
+    rows = (
+        # 'gap': true at h0,h1 — h2 missing — true at h3,h4 → two pending islands
+        [row("gap", h, 9) for h in (0, 1, 3, 4)]
+        # 'dip': true h0,h1, FALSE h2, true h3,h4 → also two pending islands
+        + [row("dip", h, 9) for h in (0, 1, 3, 4)] + [row("dip", 2, 1)]
+        # 'fire': true h0..h3 unbroken → one firing island
+        + [row("fire", h, 9) for h in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    out = alert_for_intervals(
+        df, F.col("value") >= 5, tier="1h", for_s=3 * 3600, alertname="a"
+    ).toPandas().sort_values(["domain", "starts_at"], ignore_index=True)
+
+    gap = out[out.domain == "gap"]
+    assert list(gap.state) == ["pending", "pending"] and list(gap.n_buckets) == [2, 2]
+    assert gap.fires_at.isna().all()
+    dip = out[out.domain == "dip"]
+    assert list(dip.state) == ["pending", "pending"]
+    fire = out[out.domain == "fire"]
+    assert len(fire) == 1 and fire.state.iloc[0] == "firing"
+    assert fire.n_buckets.iloc[0] == 4
+    assert fire.fires_at.iloc[0] == base + datetime.timedelta(hours=3)

@@ -937,3 +937,66 @@ def rare_token_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rare).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("rare_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# O81 — segment-level exact dedup (CCNet-style paragraph dedup, fixed
+# 16-token segments since the synthetic corpus has no newlines)
+# --------------------------------------------------------------------------
+
+@register(
+    "segment_dedup_documents",
+    f"""
+  WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+  seg AS (
+    SELECT doc_id, md5(array_to_string(toks[g*16+1 : g*16+16], ' ')) AS h
+    FROM t, unnest(generate_series(0, CAST((len(toks)-1)//16 AS BIGINT))) AS u(g)
+  ),
+  df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+         CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_frac
+  FROM seg s JOIN df d ON s.h = d.h
+  GROUP BY 1
+""",
+)
+def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (O81) — the CCNet/Gopher 'duplicated
+    paragraph fraction' signal, over fixed 16-token segments (the corpus
+    has no newlines; on real pages the splitter would be '\\n').  Corpus-
+    global shape: segments hash-grouped (the shuffle carries md5 strings,
+    never text), distinct-doc counts joined back per segment occurrence —
+    a doc's dup_frac counts segments shared with ANY OTHER doc, so
+    boilerplate shared across a domain surfaces even when no full doc is
+    a dup.  Filter `dup_frac > τ` is the standard pre-training drop rule.
+    Exact integer ratios — hash-safe."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    toks = F.expr(_TOK_SPARK)
+    segs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 16).cast("int"))
+            ).alias("g"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("g") * 16 + 1, 16), " ")
+            ).alias("h"),
+        )
+    )
+    df_tbl = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        segs.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dup).alias("n_dup_segments"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double")).alias("dup_frac"),
+        )
+    )

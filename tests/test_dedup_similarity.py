@@ -313,3 +313,37 @@ def test_ivf_shuffles_carry_ids_only(spark):
             continue
         out = next((l for l in body if l.startswith("Output")), "")
         assert "embedding" not in out and "pe#" not in out, (head, out)
+
+
+def test_segment_dedup_planted_boilerplate(spark):
+    """O81: two docs sharing one 16-token boilerplate block are flagged on
+    exactly that segment; a unique doc reports dup_frac 0."""
+    import pandas as pd
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(16))  # noqa: E731
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                boiler + " " + uniq("x"),
+                boiler + " " + uniq("y"),
+                uniq("z") + " " + uniq("w"),
+            ],
+        }
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        from fischer_spark.queries_webtext import segment_dedup_documents
+
+        out = (
+            segment_dedup_documents(spark, td)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    assert out.loc[1].n_segments == 2 and out.loc[1].n_dup_segments == 1
+    assert out.loc[2].n_dup_segments == 1 and abs(out.loc[2].dup_frac - 0.5) < 1e-12
+    assert out.loc[3].n_dup_segments == 0 and out.loc[3].dup_frac == 0.0

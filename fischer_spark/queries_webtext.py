@@ -1000,3 +1000,66 @@ def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double")).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O82 — PII scrub (emails / SSN / phone / IPv4), oracle-gated on the
+# redacted STRINGS themselves
+# --------------------------------------------------------------------------
+
+_CONTACT_SPARK = (
+    "concat('contact ', lower(replace(c_name, '#', '.')), '@example.com ', "
+    "'call 415-555-', lpad(cast(c_custkey % 10000 as string), 4, '0'), "
+    "' id 123-45-', lpad(cast(c_custkey % 10000 as string), 4, '0'), "
+    "' host 10.', cast(c_custkey % 256 as string), '.0.', cast(c_custkey % 100 as string))"
+)
+_CONTACT_DUCK = (
+    "concat('contact ', lower(replace(c_name, '#', '.')), '@example.com ', "
+    "'call 415-555-', lpad(cast(c_custkey % 10000 as varchar), 4, '0'), "
+    "' id 123-45-', lpad(cast(c_custkey % 10000 as varchar), 4, '0'), "
+    "' host 10.', cast(c_custkey % 256 as varchar), '.0.', cast(c_custkey % 100 as varchar))"
+)
+
+
+@register(
+    "pii_scrub_customer",
+    f"""
+  WITH blobs AS (
+    SELECT c_custkey, {_CONTACT_DUCK} AS contact FROM customer
+  )
+  SELECT c_custkey,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-(\\d{{4}})\\b', 'XXX-XXX-\\1', 'g'),
+           '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS text_redacted,
+         CAST(len(regexp_extract_all(contact,
+           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(contact, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS INT) AS n_ssn,
+         CAST(len(regexp_extract_all(contact, '\\b\\d{{3}}-\\d{{3}}-(\\d{{4}})\\b')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(contact, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS n_ipv4
+  FROM blobs
+""",
+)
+def pii_scrub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (O82, functions/pii.py): the contact blob is built
+    deterministically from customer fields IN the query (the slim
+    TPC-H-ish testdata carries no real PII columns), then redacted —
+    the gate hash-compares the redacted STRINGS and per-family counts,
+    i.e. exact cross-engine regex parity, the property the RE2-safe
+    pattern discipline exists for."""
+    from fischer_spark.functions.pii import with_pii_stats
+
+    c = scan_testdata(spark, sf_dir, "customer")
+    blobs = c.select("c_custkey", F.expr(_CONTACT_SPARK).alias("contact"))
+    out = with_pii_stats(blobs, "contact")
+    return out.select(
+        "c_custkey", "text_redacted",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+    )

@@ -1063,3 +1063,58 @@ def pii_scrub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("int").alias("n_phone"),
         F.col("n_ipv4").cast("int").alias("n_ipv4"),
     )
+
+
+# --------------------------------------------------------------------------
+# O83 — incremental ingestion dedup: a new batch vs the existing corpus
+# --------------------------------------------------------------------------
+
+@register(
+    "ingest_dedup_documents",
+    """
+  WITH corpus AS (
+    SELECT DISTINCT md5(text) AS h FROM documents
+    WHERE CAST(substr(source, 4) AS BIGINT) < 10
+  ),
+  batch AS (
+    SELECT doc_id, md5(text) AS text_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+    FROM documents WHERE CAST(substr(source, 4) AS BIGINT) >= 10
+  )
+  SELECT b.doc_id, b.text_hash,
+         CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+              WHEN b.doc_id <> b.first_id THEN 'dup_in_batch'
+              ELSE 'new' END AS verdict
+  FROM batch b LEFT JOIN corpus c ON b.text_hash = c.h
+""",
+)
+def ingest_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (O83): each incoming batch doc is
+    verdict-ed against (a) the already-committed corpus' distinct content
+    hashes and (b) earlier docs in its own batch (min-doc_id survivor —
+    the same survivor rule as the dedup clustering ops).  src0–9 play the
+    committed corpus, src10–19 the incoming batch.
+
+    Scale shape: the corpus side reduces to DISTINCT HASHES before the
+    join (the shuffle carries 16-byte digests, never text — at 10^12 docs
+    that's the classic bloom-filter pre-join, and Spark's row-level
+    runtime filter does exactly that when the hash table spills); the
+    batch-internal survivor is one window over the batch only.  Exact
+    strings/integers — hash-safe."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("bigint")
+    corpus = (
+        d.filter(src_num < 10).select(F.md5("text").alias("h")).distinct()
+    )
+    batch = d.filter(src_num >= 10).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    batch = batch.withColumn("first_id", F.min("doc_id").over(w))
+    j = batch.join(corpus, batch.text_hash == corpus.h, "left")
+    verdict = (
+        F.when(F.col("h").isNotNull(), "dup_of_corpus")
+        .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+        .otherwise("new")
+    )
+    return j.select("doc_id", "text_hash", verdict.alias("verdict"))

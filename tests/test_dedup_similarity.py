@@ -347,3 +347,44 @@ def test_segment_dedup_planted_boilerplate(spark):
     assert out.loc[1].n_segments == 2 and out.loc[1].n_dup_segments == 1
     assert out.loc[2].n_dup_segments == 1 and abs(out.loc[2].dup_frac - 0.5) < 1e-12
     assert out.loc[3].n_dup_segments == 0 and out.loc[3].dup_frac == 0.0
+
+
+def test_ingest_dedup_verdicts_planted(spark):
+    """O83: all three verdicts on a planted corpus/batch split.  The
+    testdata gate only exercises 'new' (its corpus has no full-text
+    dupes), so the dup paths are pinned here."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            # src0-9 = corpus, src10+ = batch
+            "doc_id": [1, 2, 10, 11, 12, 13],
+            "source": ["src0", "src1", "src10", "src10", "src11", "src12"],
+            "text": [
+                "alpha beta", "gamma delta",        # corpus
+                "alpha beta",                        # dup_of_corpus
+                "epsilon zeta",                      # new (first of its hash)
+                "epsilon zeta",                      # dup_in_batch
+                "eta theta",                         # new
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        from fischer_spark.queries_webtext import ingest_dedup_documents
+
+        out = (
+            ingest_dedup_documents(spark, td)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    assert out.loc[10].verdict == "dup_of_corpus"
+    assert out.loc[11].verdict == "new"
+    assert out.loc[12].verdict == "dup_in_batch"
+    assert out.loc[13].verdict == "new"
+    # a corpus-dup beats batch-internal ordering (10 is also first of its hash)
+    assert len(out) == 4  # corpus docs never appear in the output

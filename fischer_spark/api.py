@@ -233,6 +233,55 @@ class Series:
             self.tier,
         )
 
+    def offset(self, offset_s: int) -> "Series":
+        """PromQL ``offset`` (operators/binop.py series_offset): re-stamp
+        samples ``offset_s`` seconds later so the past pairs with the
+        present under .binop — ``rate.binop(rate.offset(7*86400), 'div')``
+        is the week-over-week ratio."""
+        from fischer_spark.operators.binop import series_offset
+
+        return Series(series_offset(self.df, offset_s), self.tier)
+
+    def m4(self, n_px: int = 400) -> "Series":
+        """M4 pixel-bucket downsample (operators/downsample.py
+        m4_downsample) — the JVM-only dashboard read (first/last/min/max
+        per pixel); .downsample() (LTTB) is the shape-quality upgrade."""
+        from fischer_spark.operators.downsample import m4_downsample
+
+        return Series(
+            m4_downsample(self.df, ["domain", "metric", "tag"], n_px=n_px),
+            self.tier,
+        )
+
+    def alerts(self, cond, for_s: int = 0, alertname: str = "alert") -> "Series":
+        """Alert rule evaluation (operators/detect.py alert_for_intervals):
+        ``cond`` (a Column over this Series' rows) must hold on
+        consecutive tier buckets; pending→firing after ``for_s``."""
+        from fischer_spark.operators.detect import alert_for_intervals
+
+        return Series(
+            alert_for_intervals(
+                self.df, cond, tier=self.tier or "1h", for_s=for_s, alertname=alertname
+            ),
+            self.tier,
+        )
+
+    def calendar_rollup(self, tier: str) -> "Series":
+        """Calendar tier (1w/1mo/1y) from this Series' points by the
+        exact-state cascade (operators/rollup.py rollup_states_calendar):
+        points → 1d states → calendar merge; value = derived mean."""
+        from fischer_spark.operators.rollup import (
+            rollup_points as _rp,
+            rollup_states_calendar,
+            with_derived_stats as _wds,
+        )
+
+        states = rollup_states_calendar(_rp(self.df, "1d"), tier)
+        pts = _wds(states).select(
+            "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
+        )
+        return Series(pts, tier)
+
     # -- introspection ------------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

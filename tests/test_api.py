@@ -399,3 +399,36 @@ def test_query_range_allow_raw_serves_nondividing_step(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not a multiple"):
         query_range(store, "m", start, end, step_s=90)
+
+
+def test_series_round3b_fluent_methods(pages):
+    """The .offset/.m4/.alerts/.calendar_rollup fluent hooks delegate to
+    their operators exactly (same frames as direct composition)."""
+    from pyspark.sql import functions as F
+
+    from fischer_spark.api import Series
+    from fischer_spark.operators.binop import series_offset
+    from fischer_spark.operators.downsample import m4_downsample
+    from fischer_spark.operators.rollup import (
+        rollup_points,
+        rollup_states_calendar,
+    )
+    from tests.conftest import assert_df_equal
+
+    s = Series.from_pages(pages, ("crawl_rate",)).rollup("1h")
+
+    assert_df_equal(s.offset(3600).df, series_offset(s.df, 3600))
+    assert_df_equal(
+        s.m4(32).df, m4_downsample(s.df, ["domain", "metric", "tag"], n_px=32)
+    )
+
+    alerts = s.alerts(F.col("value") > 0, for_s=2 * 3600, alertname="busy").df
+    assert alerts.count() > 0
+    assert set(alerts.select("state").distinct().toPandas().state) <= {"pending", "firing"}
+
+    cal = s.calendar_rollup("1w").df
+    direct_states = rollup_states_calendar(rollup_points(s.df, "1d"), "1w")
+    assert cal.count() == direct_states.count() > 0
+    # week-over-week ratio composes from offset + binop
+    wow = s.binop(s.offset(7 * 86400), "div", new_metric="wow")
+    assert wow.df.filter(F.col("metric") != "wow").count() == 0

@@ -83,6 +83,14 @@ def main() -> None:
         "ngram_jaccard_neighbors",
         "quality_score_documents",
         "cosine_topk_embeddings",
+        # round-3b surface
+        "rollup_1w_calendar_events",
+        "m4_events_64px",
+        "wow_ratio_events",
+        "alerts_for_events",
+        "segment_dedup_documents",
+        "pii_scrub_customer",
+        "ingest_dedup_documents",
     ]
     timings: dict[str, float] = {}
 

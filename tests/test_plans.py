@@ -217,3 +217,55 @@ def test_series_cardinality_partial_distinct(spark):
     p = plan_of(get_queries()["series_cardinality_events"](spark, SF))
     assert p.count("HashAggregate") >= 3
     assert "Join" not in p
+
+
+def test_alert_for_single_exchange(spark):
+    """alerts_for_events (O80): the row_number window and the island
+    groupBy both key on the series labels — everything after the rate
+    agg shares one partitioning; total Exchanges = rate agg + series key."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["alerts_for_events"](spark, SF))
+    assert p.count(") Exchange") == 2  # hourly-rate agg, series-key window/agg
+    assert p.count(") Sort") == 1
+    assert "Python" not in p
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark):
+    """segment_dedup_documents (O81): every Exchange carries md5 hex
+    (and small ints) — the document text column never crosses the wire."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["segment_dedup_documents"](spark, SF))
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), m.group(0)
+    # and the scan reads only what the query needs
+    assert "CartesianProduct" not in p
+
+
+def test_ingest_dedup_corpus_side_distinct_before_join(spark):
+    """ingest_dedup_documents (O83): the corpus side aggregates to
+    DISTINCT digests before the join (HashAggregate below the join's
+    corpus input), and no text column is shuffled."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["ingest_dedup_documents"](spark, SF))
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1) or "text_hash" in m.group(1), m.group(0)
+    # corpus side: two-level distinct (partial+final HashAggregate on h)
+    # feeding the join's build side — the batch never joins raw corpus rows
+    assert len(re.findall(r"Keys \[1\]: \[h#\d+\]", p)) == 2
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_m4_query_plan_matches_operator_contract(spark):
+    """m4_events_64px: broadcast extents join + ONE main (key, px)
+    Exchange shared by sort/window/agg; no Python nodes."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["m4_events_64px"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p
+    # exchanges: hourly extents agg + main (domain, px); broadcast is separate
+    assert p.count(") Exchange") == 2

@@ -1166,3 +1166,58 @@ def alerts_for_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alert_for_intervals(
         rate, F.col("value") >= 3, tier="1h", for_s=3 * 3600, alertname="high_rate"
     )
+
+
+# --------------------------------------------------------------------------
+# O84 — cross-series aggregation + topk (PromQL `sum by ()` / `topk`)
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_series_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  tot AS (
+    SELECT bucket_ts, CAST(sum(value) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n_series
+    FROM pts GROUP BY 1
+  ),
+  ranked AS (
+    SELECT domain, bucket_ts, value,
+           row_number() OVER (PARTITION BY bucket_ts
+                              ORDER BY value DESC, domain) AS rk
+    FROM pts
+  )
+  SELECT r.bucket_ts, r.domain, r.value, r.rk, t.total, t.n_series,
+         r.value / t.total AS share
+  FROM ranked r JOIN tot t USING (bucket_ts)
+  WHERE r.rk <= 3
+""",
+)
+def topk_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL cross-series reads (O84): `topk(3, rate)` joined with
+    `sum(rate)` per bucket — the top-3 event types each hour plus their
+    share of the total.  Rank ties break on the domain label (PromQL
+    leaves ties unspecified; an engine that hash-gates its results
+    cannot).  Counts are exact; value/total is one deterministic double
+    division.  Scale shape: both the rank window and the total agg key
+    on bucket_ts — at N buckets this is perfectly parallel, and the
+    WindowGroupLimit pushes the k-filter below the shuffle."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        F.col("event_type").alias("domain"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    tot = pts.groupBy("bucket_ts").agg(
+        F.sum("value").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(F.desc("value"), "domain")
+    ranked = pts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return ranked.join(tot, "bucket_ts").select(
+        "bucket_ts", "domain", "value", "rk", "total", "n_series",
+        (F.col("value") / F.col("total")).alias("share"),
+    )

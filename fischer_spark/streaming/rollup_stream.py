@@ -244,3 +244,100 @@ def streaming_counter_rate(bucket_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_AL_STATE = StructType(
+    [
+        StructField("start_idx", LongType()),
+        StructField("last_idx", LongType()),
+        StructField("fired", LongType()),  # 0/1 (state structs: no bool in Arrow path)
+    ]
+)
+
+_AL_OUT = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("alertname", StringType()),
+        StructField("event", StringType()),
+        StructField("at_ts", TimestampType()),
+    ]
+)
+
+
+def _alert_state_fn_factory(step_us: int, for_s: int, alertname: str):
+    """State fn for streaming_alerts: per-key (start_idx, last_idx,
+    fired) of the active consecutive-true run of tier buckets.
+
+    Semantics mirror operators/detect.alert_for_intervals EXACTLY (the
+    seam test pins it): the timer resets on a false bucket AND on a
+    missing bucket (idx jump); `resolved` is emitted at the first bucket
+    boundary after the run — on the false bucket's own ts, or
+    retroactively at (last_idx+1)·step when a gap is discovered from a
+    later true bucket.  A run that nothing follows stays open (exactly
+    the batch island that extends to the data horizon)."""
+    need = max(1, -(-int(for_s) * 1_000_000 // step_us))  # ceil: buckets to fire
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start_idx, last_idx, fired = state.get
+        else:
+            start_idx, last_idx, fired = None, None, 0
+        out = []
+
+        def ts_of(idx: int):
+            return pd.Timestamp(idx * step_us * 1000)
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("bucket_ts")
+            for ts, ok in zip(pdf["bucket_ts"], pdf["cond"].astype(bool)):
+                idx = int(pd.Timestamp(ts).value // 1000 // step_us)
+                if not ok:
+                    if start_idx is not None:
+                        out.append((key[0], alertname, "resolved", ts))
+                        start_idx, last_idx, fired = None, None, 0
+                    continue
+                if start_idx is not None and idx > last_idx + 1:
+                    # gap discovered: the run ended one step after its last bucket
+                    out.append((key[0], alertname, "resolved", ts_of(last_idx + 1)))
+                    start_idx, fired = None, 0
+                if start_idx is None:
+                    start_idx = idx
+                    out.append((key[0], alertname, "pending", ts))
+                last_idx = idx
+                if not fired and (idx - start_idx + 1) >= need:
+                    out.append(
+                        (
+                            key[0],
+                            alertname,
+                            "firing",
+                            ts_of(start_idx) + pd.Timedelta(seconds=int(for_s)),
+                        )
+                    )
+                    fired = 1
+        state.update((start_idx, last_idx, fired))
+        yield pd.DataFrame(out, columns=["domain", "alertname", "event", "at_ts"])
+
+    return fn
+
+
+def streaming_alerts(
+    bucket_stream: DataFrame,
+    tier: str = "1h",
+    for_s: int = 0,
+    alertname: str = "alert",
+) -> DataFrame:
+    """O85 — streaming alert rule evaluation: the stream carries tier
+    buckets (domain, bucket_ts, cond[boolean]) in per-key order; emits
+    pending / firing / resolved TRANSITIONS with `for`-duration and
+    gap-reset semantics identical to the batch alert_for_intervals
+    (seam-tested).  State per key is three longs — O(keys), unbounded
+    lifetime like the counter state (NoTimeout, documented there)."""
+    from fischer_spark.functions.time import TIER_STEP_US
+
+    return bucket_stream.groupBy("domain").applyInPandasWithState(
+        _alert_state_fn_factory(TIER_STEP_US[tier], for_s, alertname),
+        outputStructType=_AL_OUT,
+        stateStructType=_AL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

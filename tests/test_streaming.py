@@ -301,3 +301,87 @@ def test_streaming_counter_rate_matches_batch(spark, tmp_path):
     for k in want:
         for g, w in zip(got[k], want[k]):
             assert (g is None and w is None) or g == w
+
+
+def test_streaming_alerts_match_batch_transitions(spark, tmp_path):
+    """O85: streaming pending/firing/resolved transitions == the ones
+    derived from batch alert_for_intervals on the same bucket series —
+    including a run that spans a micro-batch boundary and a gap-reset."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.detect import alert_for_intervals
+    from fischer_spark.streaming.rollup_stream import streaming_alerts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    hr = lambda h: t0 + datetime.timedelta(hours=h)  # noqa: E731
+    # key "a": true h0-h4 (fires, for=3h), false h5 (resolves),
+    #          true h7-h8 (pending; gap at h5-h6 means fresh run), false h9
+    # key "b": true h0-h1 only (pending), false h2
+    rows = [
+        ("a", hr(h), v)
+        for h, v in [(0, 9.0), (1, 9.0), (2, 9.0), (3, 9.0), (4, 9.0), (5, 1.0),
+                     (7, 9.0), (8, 9.0), (9, 1.0)]
+    ] + [("b", hr(h), v) for h, v in [(0, 9.0), (1, 9.0), (2, 1.0)]]
+    schema = "domain string, bucket_ts timestamp, value double"
+    # split mid-run: the a-run h0-h4 spans the batch boundary at h2
+    batches = [
+        [r for r in rows if r[1] < hr(3)],
+        [r for r in rows if r[1] >= hr(3)],
+    ]
+    src = tmp_path / "al_src"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        part = str(tmp_path / f"al_b{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(part)
+        dst = str(src / f"{i:02d}.parquet")
+        shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("cond", F.col("value") >= 5)
+    )
+    q = (
+        streaming_alerts(stream, tier="1h", for_s=3 * 3600, alertname="hot")
+        .writeStream.format("memory")
+        .queryName("t_stream_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["domain"], r["event"], r["at_ts"])
+        for r in spark.sql("SELECT * FROM t_stream_alerts").collect()
+    }
+
+    # batch truth: islands → transitions (resolved = ends_at + step for
+    # every island here, since each is followed by a false/later bucket)
+    batch_df = spark.createDataFrame(rows, schema).select(
+        "domain", F.lit("m").alias("metric"), F.lit(None).cast("string").alias("tag"),
+        "bucket_ts", "value",
+    )
+    islands = alert_for_intervals(
+        batch_df, F.col("value") >= 5, tier="1h", for_s=3 * 3600, alertname="hot"
+    ).collect()
+    want = set()
+    for r in islands:
+        want.add((r["domain"], "pending", r["starts_at"]))
+        if r["state"] == "firing":
+            want.add((r["domain"], "firing", r["fires_at"]))
+        want.add(
+            (r["domain"], "resolved", r["ends_at"] + datetime.timedelta(hours=1))
+        )
+    assert got == want, (sorted(got), sorted(want))
+    # sanity on the shape itself
+    assert ("a", "firing", hr(3)) in got           # fired at start+for
+    assert ("a", "resolved", hr(5)) in got         # false bucket resolves
+    assert ("a", "pending", hr(7)) in got          # gap => fresh run
+    assert not any(d == "b" and e == "firing" for d, e, _ in got)

@@ -34,6 +34,7 @@ from fischer_spark.operators.rollup import (
     rollup_points,
     rollup_points_salted,
     rollup_states,
+    rollup_states_calendar,
     with_derived_stats,
 )
 from fischer_spark.operators.series import (
@@ -70,6 +71,12 @@ class RollupPipeline:
         # tier tables read by time range (reads list only the window's
         # day directories). See sources/storage.py.
         partition_days: bool = False,
+        # calendar retention tiers to materialize AFTER rollup_1d
+        # (subset of {"1w","1mo","1y"}): 1w/1mo merge the 1d states,
+        # 1y merges 1mo when present (months nest in years; ISO weeks
+        # don't nest in months, so 1w always comes from 1d).  These
+        # tables are tiny (≤ keys × months) and retained forever.
+        calendar: tuple = (),
     ):
         from fischer_spark.deploy import ensure_shipped
 
@@ -92,6 +99,10 @@ class RollupPipeline:
             hist_params = {"page_size": hist_params}
         self.hist_params = hist_params
         self.partition_days = partition_days
+        bad = set(calendar) - {"1w", "1mo", "1y"}
+        if bad:
+            raise ValueError(f"unknown calendar tiers {sorted(bad)}; choose from 1w/1mo/1y")
+        self.calendar = tuple(t for t in ("1w", "1mo", "1y") if t in calendar)
         self._runpath = os.path.join(store.root, "_runs", f"{run_id}.json")
 
     # -- run-manifest ------------------------------------------------------
@@ -122,6 +133,9 @@ class RollupPipeline:
             "bucket_ts"
             if self.partition_days
             and (table.startswith(("rollup_", "hist_")) or table.startswith("series"))
+            # calendar tables hold ≤ keys × months rows — day directories
+            # would be pure file-count overhead with zero pruning value
+            and table not in ("rollup_1w", "rollup_1mo", "rollup_1y")
             else None
         )
         snap = self.store.append(table, df, day_col=day_col)
@@ -138,6 +152,7 @@ class RollupPipeline:
             "rollup_1m",
             "rollup_1h",
             "rollup_1d",
+            *[f"rollup_{t}" for t in self.calendar],
             *(["hist_1h", "hist_1d"] if self.hist else []),
             "zscore_intervals",
             "seasonal_intervals",
@@ -168,6 +183,21 @@ class RollupPipeline:
             # latency-shaped metric): hist_1h from raw points once, then
             # hist_1d by exact integer merge — same cascade discipline as
             # the rollup tiers
+            # calendar tiers: exact state merge of the 1d table (1y from
+            # 1mo when materialized — months nest in years)
+            "rollup_1w": lambda: rollup_states_calendar(
+                self.store.read("rollup_1d", self.completed().get("rollup_1d")), "1w"
+            ),
+            "rollup_1mo": lambda: rollup_states_calendar(
+                self.store.read("rollup_1d", self.completed().get("rollup_1d")), "1mo"
+            ),
+            "rollup_1y": lambda: rollup_states_calendar(
+                self.store.read("rollup_1mo", self.completed().get("rollup_1mo")), "1y"
+            )
+            if "1mo" in self.calendar
+            else rollup_states_calendar(
+                self.store.read("rollup_1d", self.completed().get("rollup_1d")), "1y"
+            ),
             "hist_1h": lambda: self._hist_states("1h"),
             "hist_1d": lambda: hist_merge(
                 self.store.read("hist_1h", self.completed().get("hist_1h")), "1d"

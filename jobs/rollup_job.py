@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
         "its default edges unless respecified)",
     )
     ap.add_argument(
+        "--calendar",
+        action="append",
+        default=None,
+        choices=["1w", "1mo", "1y"],
+        help="also materialize calendar retention tiers (exact state merge "
+        "of the 1d table; 1y merges 1mo when both requested; repeatable)",
+    )
+    ap.add_argument(
         "--refresh",
         action="store_true",
         help="incremental mode: treat the input as LATE/NEW pages only and "
@@ -173,6 +181,24 @@ def main(argv: list[str] | None = None) -> int:
         snaps = refresh_cascade(store, late_points, impl=args.impl)
         for tier, snap in snaps.items():
             print(f"  refreshed rollup_{tier}: snapshot={snap}")
+        # calendar tiers must not go stale vs the refreshed 1d (the same
+        # lockstep rule as the hist tiers below).  They are ≤ keys × months
+        # rows, so a full overwrite from the refreshed 1d is cheaper than
+        # touched-bucket bookkeeping.
+        from fischer_spark.operators.rollup import rollup_states_calendar
+
+        cal_tables = [
+            t for t in ("rollup_1w", "rollup_1mo", "rollup_1y")
+            if store.current_snapshot(t) is not None
+        ]
+        for t in cal_tables:
+            tier = t.split("_")[1]
+            src = "rollup_1mo" if tier == "1y" and "rollup_1mo" in cal_tables else "rollup_1d"
+            s = store.overwrite_range(
+                t, rollup_states_calendar(store.read(src), tier),
+                "bucket_ts", "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+            )
+            print(f"  rebuilt {t} from refreshed {src}: snapshot={s}")
         if hist_tables:
             # the percentile tiers must refresh in lockstep with the rollup
             # tiers or query_range_hist serves stale percentiles that
@@ -210,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
         impl=args.impl, encode_keys=args.encode_keys, gapfill=args.gapfill,
         hist=args.hist or bool(args.hist_family), hist_params=hist_params,
         partition_days=args.partition_days,
+        calendar=tuple(args.calendar or ()),
     )
     snaps = pipe.run(pages, until=args.until)
     if args.encode_keys and "key_dim" in snaps:
@@ -253,7 +280,8 @@ def main(argv: list[str] | None = None) -> int:
     # fold long snapshot chains so read plans stay O(1) in commit count
     # (key_dim included: --refresh appends newly seen keys per run)
     for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
-                  "rollup_1d", "hist_1h", "hist_1d", "chunks", "key_dim"):
+                  "rollup_1d", "rollup_1w", "rollup_1mo", "rollup_1y",
+                  "hist_1h", "hist_1d", "chunks", "key_dim"):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)
             if s:

@@ -111,3 +111,45 @@ def test_rollup_job_refresh_mode(tmp_path):
         assert after[t] > before[t], (t, before[t], after[t])
     # page_size contributes exactly one point per late page
     assert after["rollup_1m"] >= before["rollup_1m"] + 500
+
+
+def test_rollup_job_calendar_tiers(tmp_path):
+    """--calendar 1w --calendar 1mo --calendar 1y: calendar tables land
+    as exact state merges of 1d (sum(cnt) identical at every tier), and
+    a --refresh rebuilds them in lockstep with the refreshed cascade."""
+    import sys
+
+    wh = str(tmp_path / "wh")
+    base = [
+        sys.executable, str(REPO / "jobs" / "rollup_job.py"),
+        "--warehouse", wh, "--run-id", "cal",
+    ]
+    p1 = subprocess.run(
+        base + ["--synth-pages", "2000", "--seed", "1",
+                "--calendar", "1w", "--calendar", "1mo", "--calendar", "1y"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-3000:]
+
+    sys.path.insert(0, str(REPO))
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    spark = get_spark("cal_check", master="local[4]")
+    store = ParquetManifestStore(spark, wh)
+    tiers = ("rollup_1d", "rollup_1w", "rollup_1mo", "rollup_1y")
+    cnts = {t: store.read(t).agg({"cnt": "sum"}).collect()[0][0] for t in tiers}
+    assert len(set(cnts.values())) == 1, cnts  # exact merge: no point lost
+    rows = {t: store.read(t).count() for t in tiers}
+    assert rows["rollup_1y"] <= rows["rollup_1mo"] <= rows["rollup_1w"] <= rows["rollup_1d"]
+
+    p2 = subprocess.run(
+        base + ["--synth-pages", "400", "--seed", "2", "--refresh"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "rebuilt rollup_1mo" in p2.stdout and "from refreshed rollup_1mo" in p2.stdout or \
+        "rebuilt rollup_1y from refreshed rollup_1mo" in p2.stdout
+    after = {t: store.read(t).agg({"cnt": "sum"}).collect()[0][0] for t in tiers}
+    assert len(set(after.values())) == 1, after  # still lockstep after refresh
+    assert after["rollup_1mo"] > cnts["rollup_1mo"]

@@ -91,6 +91,8 @@ def main() -> None:
         "segment_dedup_documents",
         "pii_scrub_customer",
         "ingest_dedup_documents",
+        "subquery_max_rate_events",
+        "corr_count_value_events",
     ]
     timings: dict[str, float] = {}
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fischer_spark.operators.detect import (
@@ -306,6 +306,8 @@ def query_range(
     fn: str | None = None,
     fn_args: dict | None = None,
     allow_raw: bool = False,
+    domain_re: str | None = None,
+    tag_re: str | None = None,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -334,6 +336,13 @@ def query_range(
     served bucket; ONE row per series).  The transforms run on TIER
     rows after the state merge — one extra window/Arrow/agg pass over
     the served series, never a raw scan.
+
+    ``domain_re`` / ``tag_re`` are PromQL ``=~`` regex label selectors
+    (Java regex, full-match like PromQL anchors): plain ``rlike``
+    filters on the decoded label columns, composable with the exact
+    ``domain`` / ``tag`` matchers.  They run AFTER key decode — regex
+    can't prune a dictionary-encoded scan — so prefer exact matchers
+    where cardinality allows.
     """
     from pyspark.sql import functions as F
 
@@ -361,7 +370,10 @@ def query_range(
                 "divisible by 60, or pass allow_raw=True to serve it from "
                 "the raw chunk store"
             )
-        pts = _raw_points(store, metric, start, end, domain, tag)
+        pts = _label_re_filter(
+            _raw_points(store, metric, start, end, domain, tag),
+            domain_re, tag_re,
+        )
         step_bucket = F.timestamp_seconds(
             (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
         ).alias("bucket_ts")
@@ -399,6 +411,7 @@ def query_range(
         states = states.filter(F.col("domain") == domain)
     if tag is not None:
         states = states.filter(F.col("tag") == tag)
+    states = _label_re_filter(states, domain_re, tag_re)
 
     impl = "fixed64" if "sq_aa" in states.columns else "decimal"
     step_bucket = F.timestamp_seconds(
@@ -428,6 +441,82 @@ def _range_stat_select(derived, stat: str, impl: str, fn, fn_args):
     if fn is not None:
         out = _apply_range_fn(out, fn, fn_args or {})
     return out.orderBy("domain", "tag", "bucket_ts")
+
+
+def _label_re_filter(df, domain_re: str | None, tag_re: str | None):
+    """PromQL ``=~`` selector semantics: full-string anchored regex on a
+    label column.  ``rlike`` is substring-match, so anchor explicitly —
+    PromQL `{domain=~"a.*"}` must NOT match "xa..."."""
+    for col, pat in (("domain", domain_re), ("tag", tag_re)):
+        if pat is not None:
+            df = df.filter(F.col(col).rlike(f"^(?:{pat})$"))
+    return df
+
+
+def subquery_range(
+    store,
+    metric: str,
+    start: str,
+    end: str,
+    inner_step_s: int,
+    outer_step_s: int,
+    outer_stat: str = "max",
+    **kwargs,
+):
+    """PromQL subquery: ``<outer_stat>_over_time(fn(x[inner])[outer:inner])``
+    — evaluate ``query_range`` at ``inner_step_s`` (all its selectors /
+    ``stat`` / ``fn`` compose via kwargs), then aggregate the inner
+    samples per series into ``outer_step_s`` buckets with
+    max/min/avg/sum/count/last_over_time semantics.
+
+    The outer step must be a multiple of the inner step (PromQL aligns
+    subquery evaluation timestamps the same way); the outer aggregation
+    is one more groupBy on a strict coarsening of the inner bucket key,
+    so it rides the same Exchange lineage — tier states are still read
+    once.  avg_over_time averages the PRESENT inner samples (PromQL
+    semantics), not the nominal outer/inner slot count.  last_over_time
+    is the max-timestamp sample per outer bucket (deterministic: inner
+    buckets are unique per series).
+
+    Oracle-gated fixture form: queries_extended.subquery_max_rate_events.
+    """
+    if outer_step_s % inner_step_s:
+        raise ValueError(
+            f"outer_step_s={outer_step_s} must be a multiple of "
+            f"inner_step_s={inner_step_s} (PromQL subquery alignment)"
+        )
+    inner = query_range(store, metric, start, end, inner_step_s, **kwargs)
+    outer_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / outer_step_s).cast("long")
+        * outer_step_s
+    ).alias("bucket_ts")
+    keys = ["domain", "metric", "tag"]
+    if outer_stat == "last":
+        w = Window.partitionBy(*keys, outer_bucket).orderBy(
+            F.desc("bucket_ts")
+        )
+        return (
+            inner.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(*keys, outer_bucket, "value")
+            .orderBy("domain", "tag", "bucket_ts")
+        )
+    agg = {
+        "max": F.max("value"),
+        "min": F.min("value"),
+        "avg": F.avg("value"),
+        "sum": F.sum("value"),
+        "count": F.count("value").cast("double"),
+    }
+    if outer_stat not in agg:
+        raise ValueError(
+            f"outer_stat={outer_stat!r} not in {sorted(agg)} + ['last']"
+        )
+    return (
+        inner.groupBy(*keys, outer_bucket)
+        .agg(agg[outer_stat].alias("value"))
+        .orderBy("domain", "tag", "bucket_ts")
+    )
 
 
 _RANGE_FNS = (

@@ -1221,3 +1221,135 @@ def topk_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts", "domain", "value", "rk", "total", "n_series",
         (F.col("value") / F.col("total")).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# O85 — PromQL subquery: outer *_over_time over an inner stepped series
+# (`max_over_time(rate(x[5m])[1h:5m])`).  The engine form composes two
+# query_range passes (api.subquery_range); this fixture-level form pins
+# the two-level bucketing semantics against DuckDB.
+# --------------------------------------------------------------------------
+
+@register(
+    "subquery_max_rate_events",
+    """
+  WITH inner5 AS (
+    SELECT event_type,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+                AS TIMESTAMP) AS bucket5,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) AS DOUBLE) / 300.0 AS rate
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type,
+         CAST(to_timestamp(CAST(floor(epoch(bucket5) / 3600) * 3600 AS BIGINT))
+              AS TIMESTAMP) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         max(rate) AS max_rate,
+         min(rate) AS min_rate,
+         CAST(sum(cnt) AS BIGINT) AS total_events
+  FROM inner5 GROUP BY 1, 2
+""",
+)
+def subquery_max_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery (O85): the inner query evaluates an event-rate at a
+    5-minute step, the outer takes max/min_over_time per hour — the
+    `max_over_time(rate(x[5m])[1h:5m])` shape dashboards use for "worst
+    5-minute burst each hour".  The inner rate is an exact BIGINT count
+    over one double division (hash-deterministic); the outer max/min act
+    on those doubles identically in both engines.  Scale shape: two
+    stacked partial-aggregated groupBys — the second keys on a strict
+    coarsening of the first, so AQE coalesces it into the same Exchange
+    lineage; no window, no raw re-scan (the engine form reads tier
+    states, see api.subquery_range)."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    b5 = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 300).cast("long") * 300
+    ).alias("bucket5")
+    inner = ev.groupBy("event_type", b5).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.count(F.lit(1)).cast("double") / 300.0).alias("rate"),
+    )
+    b1h = F.timestamp_seconds(
+        (F.unix_timestamp("bucket5") / 3600).cast("long") * 3600
+    ).alias("bucket_ts")
+    return inner.groupBy("event_type", b1h).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max("rate").alias("max_rate"),
+        F.min("rate").alias("min_rate"),
+        F.sum("cnt").alias("total_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O86 — cross-family correlation: Pearson r between two series families
+# over shared time buckets, exact-integer moment accumulation.
+# --------------------------------------------------------------------------
+
+@register(
+    "corr_count_value_events",
+    """
+  WITH h AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+  ),
+  m AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+           sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+    FROM h GROUP BY 1
+  )
+  SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+         CASE WHEN n < 2 OR n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+              ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                   / sqrt(CAST(n*syy - sy*sy AS DOUBLE)) END AS pearson_r
+  FROM m ORDER BY 1
+""",
+)
+def corr_count_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family Pearson correlation (O86): per event_type, the
+    correlation between hourly event COUNT and hourly integer-scaled
+    value SUM across the shared hour buckets — the "does volume move
+    with value?" read fischer-style dashboards overlay two families
+    for.  All six moments (n, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    exact integers (decimal(38,0) in Spark, HUGEINT in DuckDB); the
+    final r is two correctly-rounded sqrts and one division over those
+    exact integers, so the hash gate is bit-deterministic — this is why
+    the built-in F.corr/corr() (running-mean float accumulators,
+    order-dependent) is NOT used.  Scale shape: two stacked
+    partial-aggregated groupBys on coarsening keys, one Exchange
+    lineage, no window."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"),
+    )
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    r = F.when(
+        (n < 2) | (vx == 0.0) | (vy == 0.0), F.lit(None).cast("double")
+    ).otherwise(cov / F.sqrt(vx) / F.sqrt(vy))
+    return m.select(
+        "event_type", F.col("n").cast("long").alias("n_buckets"),
+        r.alias("pearson_r"),
+    )

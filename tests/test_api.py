@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fischer_spark.api import Series
@@ -432,3 +433,100 @@ def test_series_round3b_fluent_methods(pages):
     # week-over-week ratio composes from offset + binop
     wow = s.binop(s.offset(7 * 86400), "div", new_metric="wow")
     assert wow.df.filter(F.col("metric") != "wow").count() == 0
+
+
+def test_subquery_range_over_time(spark, tmp_path):
+    """subquery_range: max/avg/last_over_time at a 1h outer step over a
+    1m-step inner query_range equals the same two-level aggregation
+    computed directly from raw points (PromQL
+    `max_over_time(x[1h:1m])` semantics: avg over PRESENT samples)."""
+    from fischer_spark.api import query_range, subquery_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 4000, seed=11).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    points = build_series(pages)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1m", rollup_points(points, "1m"))
+
+    start, end = "2024-01-01 00:00:00", "2024-12-31 00:00:00"
+    inner = query_range(store, "crawl_rate", start, end, 60, stat="count")
+    b1h = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / 3600).cast("long") * 3600
+    ).alias("bucket_ts")
+    for stat, agg in (("max", F.max("value")), ("avg", F.avg("value"))):
+        got = subquery_range(
+            store, "crawl_rate", start, end, 60, 3600,
+            outer_stat=stat, stat="count",
+        )
+        want = inner.groupBy("domain", "metric", "tag", b1h).agg(
+            agg.alias("value")
+        )
+        assert_df_equal(got, want, tol=1e-12)
+
+    # last_over_time: the max-inner-bucket sample per outer bucket
+    got_last = subquery_range(
+        store, "crawl_rate", start, end, 60, 3600,
+        outer_stat="last", stat="count",
+    )
+    w = Window.partitionBy("domain", "metric", "tag", b1h).orderBy(
+        F.desc("bucket_ts")
+    )
+    want_last = (
+        inner.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("domain", "metric", "tag", b1h, "value")
+    )
+    assert_df_equal(got_last, want_last, tol=0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        subquery_range(store, "crawl_rate", start, end, 60, 90)
+    with pytest.raises(ValueError, match="outer_stat"):
+        subquery_range(store, "crawl_rate", start, end, 60, 3600,
+                       outer_stat="median")
+
+
+def test_query_range_regex_selectors(spark, tmp_path):
+    """domain_re/tag_re are PromQL `=~` selectors: full-match anchored
+    (a prefix pattern must not match mid-string), composable with the
+    exact matchers, and equal to the client-side filter of the
+    unselected read."""
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 3000, seed=3).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(build_series(pages), "1h"))
+
+    start, end = "2024-01-01 00:00:00", "2024-12-31 00:00:00"
+    base = query_range(store, "crawl_rate", start, end, 3600)
+    got = query_range(
+        store, "crawl_rate", start, end, 3600, domain_re="d00[12].*"
+    )
+    want = base.filter(F.col("domain").rlike("^d00[12]\\."))
+    assert_df_equal(got, want, tol=0)
+    doms = {r.domain for r in got.select("domain").distinct().collect()}
+    assert doms and all(d.startswith(("d001.", "d002.")) for d in doms)
+
+    # anchoring: an unanchored mid-string pattern must match nothing
+    # ("0.*" is a substring of every "d0xx.example" but full-matches none)
+    assert query_range(
+        store, "crawl_rate", start, end, 3600, domain_re="0.*"
+    ).count() == 0

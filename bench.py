@@ -93,6 +93,7 @@ def main() -> None:
         "ingest_dedup_documents",
         "subquery_max_rate_events",
         "corr_count_value_events",
+        "archive_roundtrip_1h_events",
     ]
     timings: dict[str, float] = {}
 

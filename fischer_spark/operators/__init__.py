@@ -23,6 +23,12 @@ from fischer_spark.operators.dedup import (
     simhash_candidates,
 )
 from fischer_spark.operators.cluster import canonical_assignments, connected_components
+from fischer_spark.operators.archive import (
+    archive_tier,
+    decode_state_chunks,
+    encode_state_chunks,
+    read_tier_with_archive,
+)
 from fischer_spark.operators.counters import counter_increase, counter_rate, gauge_delta
 from fischer_spark.operators.downsample import lttb, lttb_downsample
 from fischer_spark.operators.gapfill import bucket_spine, gapfill_locf, gapfill_linear
@@ -78,4 +84,8 @@ __all__ = [
     "seasonal_score",
     "seasonal_score_grouped_arrow",
     "anomaly_intervals",
+    "encode_state_chunks",
+    "decode_state_chunks",
+    "archive_tier",
+    "read_tier_with_archive",
 ]

@@ -1353,3 +1353,56 @@ def corr_count_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("n").cast("long").alias("n_buckets"),
         r.alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# O87 — archive tier codec through the driver gate: tier states survive a
+# Gorilla/d-o-d archive round trip bit-exactly, so the decoded rollup
+# hashes equal against the plain raw-aggregation oracle.
+# --------------------------------------------------------------------------
+
+@register(
+    "archive_roundtrip_1h_events",
+    """
+    WITH states AS (
+      SELECT event_type AS domain, date_trunc('hour', ts) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+  SELECT domain AS series_key, bucket_ts, cnt,
+         CAST(s AS DOUBLE) AS sum_v, min_v, max_v,
+         CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+         CASE WHEN cnt < 2 THEN NULL ELSE
+           sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
+         END AS stddev_v
+  FROM states
+""",
+)
+def archive_roundtrip_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-tier codec (O87, operators/archive.py) under the oracle
+    hash gate: the 1h tier states are encoded into compressed archive
+    chunks (dod timestamps; gorilla over int64 bit patterns for cnt;
+    two-limb int64 streams for the decimal(28,*) exact sums) and decoded
+    back, then served through the same derived-stat projection as
+    rollup_1h_events.  The oracle aggregates raw directly — a hash match
+    therefore proves the archive round trip is bit-exact end-to-end
+    (timestamps, counts, 28-digit decimal sums, double min/max), not
+    just approximately right.  Scale shape: one groupBy to states, one
+    applyInPandas shuffle to chunk, one mapInPandas decode — the cold
+    read path exactly as production serves it."""
+    from fischer_spark.operators.archive import (
+        decode_state_chunks,
+        encode_state_chunks,
+    )
+    from fischer_spark.queries import _derived_select, _events_series
+    from fischer_spark.operators.rollup import rollup_points
+
+    states = rollup_points(_events_series(spark, sf_dir), "1h")
+    back = decode_state_chunks(
+        encode_state_chunks(states, chunk_window="1w"), states.schema
+    )
+    return _derived_select(back)

@@ -107,6 +107,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help='apply tier retention horizons as of this timestamp ("YYYY-mm-dd HH:MM:SS")',
     )
+    ap.add_argument(
+        "--archive",
+        action="append",
+        default=None,
+        choices=["1m", "1h", "1d"],
+        help="with --retain-as-of: move the tier's past-horizon rows into "
+        "the compressed archive_{tier} table (Gorilla/d-o-d state chunks, "
+        "still exactly re-aggregable) instead of deleting them (repeatable)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -270,8 +279,37 @@ def main(argv: list[str] | None = None) -> int:
             (t, "raw", "t_end" if t == "chunks" else "bucket_ts")
             for t in ("series", "series_filled", "chunks")
         ]
+        # archived tiers take the cold path: past-horizon rows become
+        # compressed state chunks (exactly re-aggregable via
+        # read_tier_with_archive) instead of being deleted; the expire
+        # below then skips those tables (their live half is already
+        # trimmed to the horizon by archive_tier's overwrite).
+        archived: set[str] = set()
+        if args.archive:
+            import datetime as _dt
+
+            from fischer_spark.operators.archive import archive_tier
+            from fischer_spark.schemas import TIER_RETENTION_S
+
+            now = _dt.datetime.fromisoformat(args.retain_as_of)
+            for tier in dict.fromkeys(args.archive):
+                table = f"rollup_{tier}"
+                horizon = TIER_RETENTION_S.get(tier)
+                if store.current_snapshot(table) is None or horizon is None:
+                    # infinite-retention tiers (1d) never expire, so there
+                    # is nothing to move cold
+                    continue
+                cutoff = (
+                    now - _dt.timedelta(seconds=horizon)
+                ).isoformat(sep=" ")
+                asnaps = archive_tier(store, tier, cutoff)
+                archived.add(table)
+                print(
+                    f"  archived {table} before {cutoff}: "
+                    + ", ".join(f"{t}={s}" for t, s in asnaps.items())
+                )
         for table, tier, ts_col in targets:
-            if store.current_snapshot(table) is None:
+            if store.current_snapshot(table) is None or table in archived:
                 continue
             s = store.expire_retention(table, tier, args.retain_as_of, ts_col=ts_col)
             if s:
@@ -281,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
     # (key_dim included: --refresh appends newly seen keys per run)
     for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
                   "rollup_1d", "rollup_1w", "rollup_1mo", "rollup_1y",
+                  "archive_1m", "archive_1h", "archive_1d",
                   "hist_1h", "hist_1d", "chunks", "key_dim"):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)

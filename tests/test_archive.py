@@ -1,0 +1,142 @@
+"""O87 archive tier: compressed cold storage of tier STATES.
+
+Pins (1) bit-exact encode→decode round trip for both state impls
+(decimal sums up to 28 digits via two-limb encoding; fixed64 longs via
+bit-pattern gorilla), (2) the archive_tier retention split — live+cold
+together still equal the original tier exactly, so query-range-style
+state re-aggregation is unchanged across the hot/cold boundary, and
+(3) zone-map pruning: out-of-window chunks are dropped before decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.archive import (
+    archive_tier,
+    decode_state_chunks,
+    encode_state_chunks,
+    read_tier_with_archive,
+)
+from fischer_spark.operators.rollup import rollup_points
+from fischer_spark.operators.series import build_series, encode_series_keys
+from fischer_spark.sources.pages import synth_pages
+from fischer_spark.sources.storage import ParquetManifestStore
+from tests.conftest import assert_df_equal
+
+
+def _tier(spark, impl, n=3000, seed=13, encode=False):
+    pages = synth_pages(spark, n, seed=seed).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    pts = build_series(pages)
+    if encode:
+        pts, key_dim = encode_series_keys(pts)
+        return rollup_points(pts, "1h", impl=impl), key_dim
+    return rollup_points(pts, "1h", impl=impl)
+
+
+def test_roundtrip_decimal_states(spark):
+    states = _tier(spark, "decimal")
+    chunks = encode_state_chunks(states, chunk_window="1w")
+    back = decode_state_chunks(chunks, states.schema)
+    assert_df_equal(back, states, tol=0)  # incl. decimal(28,6)/(28,12) sums
+
+
+def test_roundtrip_fixed64_keyencoded_states(spark):
+    states, _ = _tier(spark, "fixed64", encode=True)
+    chunks = encode_state_chunks(states, chunk_window="1mo")
+    back = decode_state_chunks(chunks, states.schema)
+    assert_df_equal(back, states, tol=0)  # long sums/sq + double min/max
+
+
+def test_roundtrip_huge_decimal_limbs(spark):
+    """Decimal sums past int64 (the reason for the two-limb codec):
+    plant a state with |unscaled| > 2^64 and round-trip it."""
+    from decimal import Decimal
+
+    states = _tier(spark, "decimal").limit(5)
+    big = states.withColumn(
+        "sum", F.lit("9876543210987654321098.765432").cast("decimal(28,6)")
+    ).withColumn(
+        "sum_sq",
+        F.lit("-1234567890123456.345678901234").cast("decimal(28,12)"),
+    )
+    back = decode_state_chunks(encode_state_chunks(big), big.schema)
+    got = back.select("sum", "sum_sq").distinct().collect()
+    # both unscaled values exceed 2^64: 9.87e27 and -1.23e27
+    assert got[0]["sum"] == Decimal("9876543210987654321098.765432")
+    assert got[0]["sum_sq"] == Decimal("-1234567890123456.345678901234")
+
+
+def test_archive_tier_split_preserves_queries(spark, tmp_path):
+    """archive_tier moves pre-horizon rows to compressed chunks; the
+    unioned read equals the original tier bit-for-bit, and a 1d state
+    re-aggregation (what query_range does) matches across the
+    boundary."""
+    from fischer_spark.operators.rollup import rollup_states
+
+    states = _tier(spark, "decimal", n=4000, seed=21)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    snaps = archive_tier(store, "1h", str(cut), chunk_window="1w")
+    assert set(snaps) == {"archive_1h", "rollup_1h"}
+
+    live = store.read("rollup_1h")
+    assert live.filter(F.col("bucket_ts") < F.lit(str(cut))).count() == 0
+    assert live.count() < states.count()
+
+    merged = read_tier_with_archive(store, "1h")
+    assert_df_equal(merged, states, tol=0)
+
+    # downstream state algebra is unchanged across the boundary
+    assert_df_equal(
+        rollup_states(merged, "1d"), rollup_states(states, "1d"), tol=0
+    )
+
+
+def test_read_window_prunes_chunks_before_decode(spark, tmp_path):
+    """A read window past every archived chunk decodes nothing: the
+    plan's surviving-chunk count is zero after the stat-column filters
+    (and the result is just the live rows)."""
+    states = _tier(spark, "decimal", n=2000, seed=5)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    archive_tier(store, "1h", str(cut), chunk_window="1w")
+
+    chunks = store.read("archive_1h")
+    surviving = chunks.filter(F.col("t_end") >= F.lit(str(cut))).count()
+    assert surviving < chunks.count()  # prune is real at chunk grain
+
+    got = read_tier_with_archive(store, "1h", t_from=str(cut))
+    want = states.filter(F.col("bucket_ts") >= F.lit(str(cut)))
+    assert_df_equal(got, want, tol=0)
+
+
+def test_archive_compresses(spark):
+    """The archive blobs are materially smaller than the plain int64/
+    decimal representation they replace (sanity bound, not a tuning
+    target: dod ts + gorilla'd longs on hourly states)."""
+    states = _tier(spark, "fixed64", n=6000, seed=9)
+    chunks = encode_state_chunks(states, chunk_window="1mo")
+    row = chunks.select(
+        F.sum(F.octet_length("ts_bytes")).alias("ts_b"),
+        F.sum(
+            F.aggregate(
+                F.map_values("state_bytes"),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.octet_length(b),
+            )
+        ).alias("state_b"),
+        F.sum("n").alias("n"),
+    ).first()
+    n = row["n"]
+    raw_bytes = n * 8 * (1 + 7)  # ts + 7 fixed64 state columns
+    packed = row["ts_b"] + row["state_b"]
+    assert packed < raw_bytes * 0.7, (packed, raw_bytes)

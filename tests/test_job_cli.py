@@ -153,3 +153,60 @@ def test_rollup_job_calendar_tiers(tmp_path):
     after = {t: store.read(t).agg({"cnt": "sum"}).collect()[0][0] for t in tiers}
     assert len(set(after.values())) == 1, after  # still lockstep after refresh
     assert after["rollup_1mo"] > cnts["rollup_1mo"]
+
+
+def test_rollup_job_archive_retention(tmp_path):
+    """--archive 1m --retain-as-of: past-horizon 1m rows move into the
+    compressed archive_1m table instead of being deleted; the merged
+    read equals the pre-retention tier exactly."""
+    import sys
+
+    wh = str(tmp_path / "wh")
+    base = [
+        sys.executable, str(REPO / "jobs" / "rollup_job.py"),
+        "--warehouse", wh, "--run-id", "arch",
+    ]
+    p1 = subprocess.run(
+        base + ["--synth-pages", "3000", "--seed", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-3000:]
+
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.archive import read_tier_with_archive
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    spark = get_spark("arch_check", master="local[4]")
+    store = ParquetManifestStore(spark, wh)
+    before = store.read("rollup_1m").orderBy("bucket_ts").collect()
+
+    # 1m horizon is 30d; synth pages span ~1mo from 2024-01-01, so this
+    # cutoff (2024-01-16) archives the first half and keeps the rest live
+    p2 = subprocess.run(
+        base + ["--synth-pages", "10", "--seed", "4",
+                "--retain-as-of", "2024-02-15 00:00:00", "--archive", "1m"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "archived rollup_1m before 2024-01-16" in p2.stdout
+
+    live = store.read("rollup_1m")
+    assert live.filter(F.col("bucket_ts") < F.lit("2024-01-16 00:00:00")).count() == 0
+    n_arch_chunks = store.read("archive_1m").count()
+    assert n_arch_chunks > 0
+
+    # same --run-id ⇒ the pipeline resumes from the completed manifest
+    # and adds NOTHING (a retention-only pass); the merged hot+cold read
+    # must therefore reproduce the pre-archive tier row-for-row
+    merged = read_tier_with_archive(store, "1m")
+    got = merged.groupBy().agg(
+        F.sum("cnt").alias("c"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert got["c"] == sum(r["cnt"] for r in before)
+    assert got["n"] == len(before)
+    # zone-map columns exist at chunk grain for pruned cold reads
+    cols = set(store.read("archive_1m").columns)
+    assert {"t_start", "t_end", "stat_cnt", "state_bytes"} <= cols

@@ -308,6 +308,7 @@ def query_range(
     allow_raw: bool = False,
     domain_re: str | None = None,
     tag_re: str | None = None,
+    include_archive: bool = False,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -382,9 +383,18 @@ def query_range(
         )
         derived = with_derived_stats(merged)
         return _range_stat_select(derived, stat, "decimal", fn, fn_args)
-    states = store.read(
-        f"rollup_{tier}", t_from=start, t_to=end
-    )  # day-partition pruning when the tier was committed partitioned
+    if include_archive:
+        # serve windows past the hot horizon too: the cold half decodes
+        # from zone-map-pruned archive chunks (operators/archive.py) and
+        # unions with the live tier — same state algebra downstream, so
+        # everything below is boundary-agnostic
+        from fischer_spark.operators.archive import read_tier_with_archive
+
+        states = read_tier_with_archive(store, tier, t_from=start, t_to=end)
+    else:
+        states = store.read(
+            f"rollup_{tier}", t_from=start, t_to=end
+        )  # day-partition pruning when the tier was committed partitioned
     if "key_id" in states.columns:
         # fast-path tier tables carry dictionary-encoded keys; decode via
         # the provided dim or the persisted `key_dim` table the pipeline

@@ -1,4 +1,4 @@
-"""O87 — archive tier: Gorilla/d-o-d compressed cold storage of rollup
+"""O88 — archive tier: Gorilla/d-o-d compressed cold storage of rollup
 TIER STATES, completing the retention ladder (SURVEY §2.4): raw points
 already expire into compressed chunks (operators/chunks.py); without
 this, tier rows past their horizon could only be deleted.  Archiving
@@ -277,7 +277,9 @@ def read_tier_with_archive(
     exactly the pre-archive tier table's shape, so every downstream
     consumer (query_range state re-agg, detectors, calendar merges)
     works unchanged on it."""
-    live = store.read(f"rollup_{tier}")
+    # t_from/t_to reach the manifest read so day-partitioned commits
+    # prune whole directories before the row filters below
+    live = store.read(f"rollup_{tier}", t_from=t_from, t_to=t_to)
     out_live = live
     if t_from is not None:
         out_live = out_live.filter(F.col("bucket_ts") >= F.lit(t_from))

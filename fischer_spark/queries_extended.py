@@ -1224,7 +1224,7 @@ def topk_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# O85 — PromQL subquery: outer *_over_time over an inner stepped series
+# O86 — PromQL subquery: outer *_over_time over an inner stepped series
 # (`max_over_time(rate(x[5m])[1h:5m])`).  The engine form composes two
 # query_range passes (api.subquery_range); this fixture-level form pins
 # the two-level bucketing semantics against DuckDB.
@@ -1252,7 +1252,7 @@ def topk_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 """,
 )
 def subquery_max_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL subquery (O85): the inner query evaluates an event-rate at a
+    """PromQL subquery (O86): the inner query evaluates an event-rate at a
     5-minute step, the outer takes max/min_over_time per hour — the
     `max_over_time(rate(x[5m])[1h:5m])` shape dashboards use for "worst
     5-minute burst each hour".  The inner rate is an exact BIGINT count
@@ -1282,7 +1282,7 @@ def subquery_max_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# O86 — cross-family correlation: Pearson r between two series families
+# O87 — cross-family correlation: Pearson r between two series families
 # over shared time buckets, exact-integer moment accumulation.
 # --------------------------------------------------------------------------
 
@@ -1314,7 +1314,7 @@ def subquery_max_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 """,
 )
 def corr_count_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-family Pearson correlation (O86): per event_type, the
+    """Cross-family Pearson correlation (O87): per event_type, the
     correlation between hourly event COUNT and hourly integer-scaled
     value SUM across the shared hour buckets — the "does volume move
     with value?" read fischer-style dashboards overlay two families
@@ -1356,7 +1356,7 @@ def corr_count_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# O87 — archive tier codec through the driver gate: tier states survive a
+# O88 — archive tier codec through the driver gate: tier states survive a
 # Gorilla/d-o-d archive round trip bit-exactly, so the decoded rollup
 # hashes equal against the plain raw-aggregation oracle.
 # --------------------------------------------------------------------------
@@ -1383,7 +1383,7 @@ def corr_count_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 """,
 )
 def archive_roundtrip_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive-tier codec (O87, operators/archive.py) under the oracle
+    """Archive-tier codec (O88, operators/archive.py) under the oracle
     hash gate: the 1h tier states are encoded into compressed archive
     chunks (dod timestamps; gorilla over int64 bit patterns for cnt;
     two-limb int64 streams for the decimal(28,*) exact sums) and decoded

@@ -1,4 +1,4 @@
-"""O87 archive tier: compressed cold storage of tier STATES.
+"""O88 archive tier: compressed cold storage of tier STATES.
 
 Pins (1) bit-exact encode→decode round trip for both state impls
 (decimal sums up to 28 digits via two-limb encoding; fixed64 longs via
@@ -140,3 +140,31 @@ def test_archive_compresses(spark):
     raw_bytes = n * 8 * (1 + 7)  # ts + 7 fixed64 state columns
     packed = row["ts_b"] + row["state_b"]
     assert packed < raw_bytes * 0.7, (packed, raw_bytes)
+
+
+def test_query_range_include_archive(spark, tmp_path):
+    """query_range(include_archive=True) over a half-archived 1h tier
+    equals query_range over the never-archived tier — the serving
+    surface is boundary-agnostic."""
+    from fischer_spark.api import query_range
+
+    states = _tier(spark, "decimal", n=3000, seed=31)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+
+    store_ref = ParquetManifestStore(spark, str(tmp_path / "ref"))
+    store_ref.append("rollup_1h", states)
+    store_cold = ParquetManifestStore(spark, str(tmp_path / "cold"))
+    store_cold.append("rollup_1h", states)
+    cut = lo + (hi - lo) / 2
+    archive_tier(store_cold, "1h", str(cut), chunk_window="1w")
+
+    start, end = "2024-01-01 00:00:00", "2024-12-31 00:00:00"
+    want = query_range(store_ref, "crawl_rate", start, end, 7200, stat="mean")
+    got = query_range(
+        store_cold, "crawl_rate", start, end, 7200, stat="mean",
+        include_archive=True,
+    )
+    assert_df_equal(got, want, tol=0)  # bit-exact across the boundary
+    # without include_archive the cold half is (correctly) absent
+    hot_only = query_range(store_cold, "crawl_rate", start, end, 7200)
+    assert hot_only.count() < want.count()

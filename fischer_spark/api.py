@@ -453,6 +453,107 @@ def _range_stat_select(derived, stat: str, impl: str, fn, fn_args):
     return out.orderBy("domain", "tag", "bucket_ts")
 
 
+# bucket-lookback (in steps) each recordable fn needs to evaluate one
+# output bucket; fns absent here (ewma/holt/deriv/predict_linear) fold
+# over UNBOUNDED history, so an incremental evaluation would silently
+# diverge from the full one — record_rule rejects them loudly.
+_RULE_FN_LOOKBACK = {None: 0, "rate": 1, "increase": 1, "delta": 1}
+
+
+def record_rule(
+    store,
+    rule: str,
+    metric: str,
+    step_s: int,
+    fn: str | None = None,
+    fn_args: dict | None = None,
+    stat: str = "mean",
+    end: str = "9999-01-01 00:00:00",
+    full: bool = False,
+    **sel,
+) -> str | None:
+    """Prometheus-style recording rule: materialize a derived series —
+    ``query_range(metric, step_s, stat=, fn=)`` — into the persisted
+    ``rule_{rule}`` table, INCREMENTALLY: only buckets newer than the
+    table's high-water mark are evaluated and appended, reading the tier
+    from exactly ``lookback`` buckets before the mark (rate/increase/
+    delta need one predecessor sample; plain stats need none).  Repeated
+    runs therefore cost O(new buckets), and the concatenation of
+    incremental runs equals one full evaluation bit-for-bit (pinned in
+    tests) — the same discipline as the tier cascade's refresh path.
+
+    Only bounded-lookback fns are recordable; ewma/holt/deriv fold over
+    the whole series and raise here (``full=True`` recomputes the rule
+    from scratch via overwrite, which is how unbounded fns or late-data
+    repair should be materialized).  Late data merged into tiers BELOW
+    the high-water mark does not re-trigger evaluation — run with
+    ``full=True`` after a tier refresh, mirroring the hist-tier lockstep
+    rule (jobs/rollup_job.py).
+
+    Returns the commit snapshot id, or None when no new buckets exist.
+    """
+    if fn not in _RULE_FN_LOOKBACK and not full:
+        raise ValueError(
+            f"fn={fn!r} folds over unbounded history and cannot be "
+            "recorded incrementally; recordable fns: "
+            f"{sorted(k for k in _RULE_FN_LOOKBACK if k)} — or pass "
+            "full=True to materialize it as a from-scratch overwrite"
+        )
+    table = f"rule_{rule}"
+    keys = ["domain", "metric", "tag"]
+    last = None
+    if not full and store.current_snapshot(table) is not None:
+        last = store.read(table).agg(F.max("bucket_ts")).first()[0]
+    start = "1900-01-01 00:00:00" if last is None else str(last)
+    stats = query_range(store, metric, start, end, step_s, stat=stat, **sel)
+    if last is not None:
+        stats = stats.filter(F.col("bucket_ts") > F.lit(str(last)))
+    if fn is None:
+        out = stats.select(
+            *keys, "bucket_ts",
+            F.col("value").alias("stat_value"), "value",
+        )
+    else:
+        work = stats
+        if last is not None:
+            # lag context: each series' LAST recorded sample — which can
+            # sit arbitrarily far before the global high-water mark when
+            # the series is sparse, so "read one step back from the
+            # mark" is NOT sufficient; the rule table persists
+            # stat_value precisely so this row can be replayed here
+            w = Window.partitionBy(*keys).orderBy(F.desc("bucket_ts"))
+            ctx = (
+                store.read(table)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    *keys, "bucket_ts", F.col("stat_value").alias("value")
+                )
+            )
+            work = ctx.unionByName(stats)
+        scored = _apply_range_fn(work, fn, fn_args or {})
+        # attach stat_value back onto the scored rows; null-safe on tag
+        # (NULL never equi-joins) and inner, so ctx buckets drop out
+        stat_side = stats.select(
+            *keys, "bucket_ts", F.col("value").alias("stat_value")
+        )
+        cond = [stat_side[k].eqNullSafe(scored[k]) for k in keys] + [
+            stat_side["bucket_ts"] == scored["bucket_ts"]
+        ]
+        out = stat_side.join(scored, cond).select(
+            *[stat_side[k] for k in keys],
+            stat_side["bucket_ts"], "stat_value", scored["value"],
+        )
+    if full and store.current_snapshot(table) is not None:
+        return store.overwrite_range(
+            table, out, "bucket_ts",
+            "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+        )
+    if len(out.take(1)) == 0:
+        return None
+    return store.append(table, out)
+
+
 def _label_re_filter(df, domain_re: str | None, tag_re: str | None):
     """PromQL ``=~`` selector semantics: full-string anchored regex on a
     label column.  ``rlike`` is substring-match, so anchor explicitly —

@@ -530,3 +530,53 @@ def test_query_range_regex_selectors(spark, tmp_path):
     assert query_range(
         store, "crawl_rate", start, end, 3600, domain_re="0.*"
     ).count() == 0
+
+
+def test_record_rule_incremental_equals_full(spark, tmp_path):
+    """Recording rules: two incremental evaluations split mid-horizon
+    equal one full evaluation bit-for-bit, for a plain stat and for the
+    lag-1 counter fn (whose first new bucket needs the lookback read);
+    a third run with no new buckets is a no-op; unbounded fns raise."""
+    import pytest
+
+    from fischer_spark.api import query_range, record_rule
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 3000, seed=17).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    states = rollup_points(build_series(pages), "1h")
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    mid = str(lo + (hi - lo) / 2)
+    endall = "2024-12-31 00:00:00"
+
+    for name, fn in (("mean_1h", None), ("rate_1h", "delta")):
+        s1 = record_rule(store, name, "crawl_rate", 3600, fn=fn, end=mid)
+        s2 = record_rule(store, name, "crawl_rate", 3600, fn=fn, end=endall)
+        assert s1 and s2
+        want = query_range(
+            store, "crawl_rate", "1900-01-01 00:00:00", endall, 3600, fn=fn
+        )
+        assert_df_equal(store.read(f"rule_{name}").drop("stat_value"), want, tol=0)
+        # no new buckets → no commit
+        assert record_rule(store, name, "crawl_rate", 3600, fn=fn, end=endall) is None
+
+    with pytest.raises(ValueError, match="unbounded"):
+        record_rule(store, "ew", "crawl_rate", 3600, fn="ewma")
+    # unbounded fns ARE materializable as a full overwrite
+    s = record_rule(store, "ew", "crawl_rate", 3600, fn="ewma", full=True)
+    assert s is not None
+    want_ew = query_range(
+        store, "crawl_rate", "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+        3600, fn="ewma",
+    )
+    assert_df_equal(store.read("rule_ew").drop("stat_value"), want_ew, tol=0)

@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
         help='apply tier retention horizons as of this timestamp ("YYYY-mm-dd HH:MM:SS")',
     )
     ap.add_argument(
+        "--record-rule",
+        action="append",
+        default=None,
+        metavar="NAME:METRIC:STEP_S[:FN]",
+        help="evaluate a recording rule incrementally after the pipeline "
+        '(e.g. "rate_1h:crawl_rate:3600:delta") — only buckets past the '
+        "rule table's high-water mark are computed (repeatable)",
+    )
+    ap.add_argument(
         "--archive",
         action="append",
         default=None,
@@ -264,6 +273,23 @@ def main(argv: list[str] | None = None) -> int:
     for stage, snap in snaps.items():
         print(f"  {stage:20s} snapshot={snap} rows={store.read(stage, snap).count()}")
 
+    if args.record_rule:
+        from fischer_spark.api import record_rule
+
+        for spec in args.record_rule:
+            parts = spec.split(":")
+            if len(parts) not in (3, 4):
+                raise SystemExit(
+                    f"--record-rule {spec!r}: expected NAME:METRIC:STEP_S[:FN]"
+                )
+            name, rmetric, rstep = parts[0], parts[1], int(parts[2])
+            rfn = parts[3] if len(parts) == 4 else None
+            snap = record_rule(store, name, rmetric, rstep, fn=rfn)
+            print(
+                f"  rule_{name}: "
+                + (f"snapshot={snap}" if snap else "no new buckets")
+            )
+
     if args.retain_as_of:
         # tier tables retain by their own horizon; the raw-granularity
         # tables (series / series_filled / chunks) retain at the "raw"
@@ -317,10 +343,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # fold long snapshot chains so read plans stay O(1) in commit count
     # (key_dim included: --refresh appends newly seen keys per run)
+    rule_tables = tuple(
+        f"rule_{spec.split(':')[0]}" for spec in (args.record_rule or ())
+    )
     for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
                   "rollup_1d", "rollup_1w", "rollup_1mo", "rollup_1y",
                   "archive_1m", "archive_1h", "archive_1d",
-                  "hist_1h", "hist_1d", "chunks", "key_dim"):
+                  "hist_1h", "hist_1d", "chunks", "key_dim", *rule_tables):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)
             if s:

@@ -308,6 +308,7 @@ def query_range(
     allow_raw: bool = False,
     domain_re: str | None = None,
     tag_re: str | None = None,
+    metric_re: str | None = None,
     include_archive: bool = False,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
@@ -373,7 +374,7 @@ def query_range(
             )
         pts = _label_re_filter(
             _raw_points(store, metric, start, end, domain, tag),
-            domain_re, tag_re,
+            domain_re, tag_re, metric_re,
         )
         step_bucket = F.timestamp_seconds(
             (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
@@ -421,7 +422,7 @@ def query_range(
         states = states.filter(F.col("domain") == domain)
     if tag is not None:
         states = states.filter(F.col("tag") == tag)
-    states = _label_re_filter(states, domain_re, tag_re)
+    states = _label_re_filter(states, domain_re, tag_re, metric_re)
 
     impl = "fixed64" if "sq_aa" in states.columns else "decimal"
     step_bucket = F.timestamp_seconds(
@@ -554,11 +555,13 @@ def record_rule(
     return store.append(table, out)
 
 
-def _label_re_filter(df, domain_re: str | None, tag_re: str | None):
+def _label_re_filter(df, domain_re: str | None, tag_re: str | None,
+                     metric_re: str | None = None):
     """PromQL ``=~`` selector semantics: full-string anchored regex on a
     label column.  ``rlike`` is substring-match, so anchor explicitly —
     PromQL `{domain=~"a.*"}` must NOT match "xa..."."""
-    for col, pat in (("domain", domain_re), ("tag", tag_re)):
+    for col, pat in (("domain", domain_re), ("tag", tag_re),
+                     ("metric", metric_re)):
         if pat is not None:
             df = df.filter(F.col(col).rlike(f"^(?:{pat})$"))
     return df

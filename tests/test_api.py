@@ -531,6 +531,12 @@ def test_query_range_regex_selectors(spark, tmp_path):
         store, "crawl_rate", start, end, 3600, domain_re="0.*"
     ).count() == 0
 
+    # metric_re (PromQL __name__=~): metric=None + regex selects across
+    # metric names; the exact-match read is a strict subset
+    all_m = query_range(store, None, start, end, 3600, metric_re="crawl_.*")
+    assert all_m.count() == base.count()
+    assert query_range(store, None, start, end, 3600, metric_re="rawl_.*").count() == 0
+
 
 def test_record_rule_incremental_equals_full(spark, tmp_path):
     """Recording rules: two incremental evaluations split mid-horizon

@@ -132,3 +132,51 @@ def test_ts_roundtrip_property(deltas, base):
     ts = base + np.cumsum(np.array(deltas, dtype="int64"))
     out = decode_timestamps(encode_timestamps(ts), len(ts))
     assert np.array_equal(ts, out)
+
+
+# -- archive limb codec: property layer (no Spark — the pure kernels) --------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-(10**22) + 1, max_value=10**22 - 1, places=6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=200,
+    )
+)
+def test_archive_decimal_limbs_roundtrip(vals):
+    """Two-limb int64 encoding of decimal(28,6) unscaled values is a
+    bit-exact inverse for the full precision range (incl. |unscaled| far
+    beyond 2^64, negatives, and zero) — the property the archive tier's
+    exactness claim rests on."""
+    import pandas as pd
+
+    from fischer_spark.operators.archive import _decode_series, _encode_series
+
+    codec = "dec128-gorilla-v1:28,6"
+    col = pd.Series(vals, dtype=object)
+    blobs = {"x" + k: v for k, v in _encode_series(col, codec).items()}
+    back = _decode_series(blobs, "x", codec, len(vals))
+    assert list(back) == list(vals)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=200,
+    )
+)
+def test_archive_i64_bitpattern_roundtrip(ints):
+    """gorilla over int64 BIT PATTERNS is payload-agnostic: any long
+    round-trips exactly (incl. INT64_MIN/MAX — values whose float64
+    conversion would be lossy, which is why the codec views, never
+    casts)."""
+    import numpy as np
+
+    from fischer_spark.operators.archive import _dec_i64, _enc_i64
+
+    arr = np.array(ints, dtype=np.int64)
+    assert _dec_i64(_enc_i64(arr), len(ints)).tolist() == ints

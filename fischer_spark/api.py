@@ -267,9 +267,21 @@ class Series:
         )
 
     def calendar_rollup(self, tier: str) -> "Series":
-        """Calendar tier (1w/1mo/1y) from this Series' points by the
-        exact-state cascade (operators/rollup.py rollup_states_calendar):
-        points → 1d states → calendar merge; value = derived mean."""
+        """Calendar-bucket (1w/1mo/1y) mean of THIS SERIES' VALUES —
+        PromQL ``avg_over_time(series[calendar bucket])`` semantics.
+
+        **On an already-rolled-up Series (the common case after
+        ``.rollup()``) this is a mean of bucket means, equally weighted
+        per bucket** — each value enters the 1d states with cnt=1, so a
+        quiet hour weighs the same as a busy one.  That is the correct
+        reading of "average of this series", and it is NOT the
+        count-weighted exact calendar mean of the underlying raw points;
+        for that, read the pipeline's materialized calendar tiers
+        (``rollup_1w``/``1mo``/``1y``, built by rollup_states_calendar
+        over the REAL 1d states), which preserve raw counts exactly
+        (ADVICE r3).  The cascade below is still exact *for the values
+        this Series carries*: values → 1d states → calendar merge,
+        bit-stable under partitioning."""
         from fischer_spark.operators.rollup import (
             rollup_points as _rp,
             rollup_states_calendar,
@@ -310,10 +322,23 @@ def query_range(
     tag_re: str | None = None,
     metric_re: str | None = None,
     include_archive: bool = False,
+    by: tuple[str, ...] | None = None,
+    without: tuple[str, ...] | None = None,
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
     [ts, value] samples).
+
+    ``by`` / ``without`` are PromQL's vector-aggregation label dimensions
+    (``sum by (domain) (...)``): series whose kept labels agree are
+    MERGED BY EXACT STATE ADDITION per step bucket — the same algebra as
+    the tier cascade, so ``sum``/``count``/``min``/``max`` across series
+    are exact, and ``mean``/``stddev`` are the count-weighted stats over
+    every underlying raw point in the group (equivalent to having rolled
+    the group up as one series; note PromQL's ``avg`` by contrast weighs
+    each series equally).  Dropped label columns are returned as NULL so
+    the output shape is unchanged.  Mutually exclusive; labels must be
+    among domain/metric/tag.
 
     Tier selection: the coarsest materialized tier whose bucket divides
     ``step_s`` — so a 2h-step query touches 1/3600 of the raw rows via
@@ -354,6 +379,8 @@ def query_range(
         with_derived_stats,
     )
 
+    group_labels = _vector_agg_labels(by, without)
+
     tier = next(
         (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), None
     )
@@ -379,10 +406,10 @@ def query_range(
         step_bucket = F.timestamp_seconds(
             (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
         ).alias("bucket_ts")
-        merged = pts.groupBy("domain", "metric", "tag", step_bucket).agg(
+        merged = pts.groupBy(*group_labels, step_bucket).agg(
             *_point_aggs("decimal")
         )
-        derived = with_derived_stats(merged)
+        derived = with_derived_stats(_restore_labels(merged, group_labels))
         return _range_stat_select(derived, stat, "decimal", fn, fn_args)
     if include_archive:
         # serve windows past the hot horizon too: the cold half decodes
@@ -428,11 +455,45 @@ def query_range(
     step_bucket = F.timestamp_seconds(
         (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
     ).alias("bucket_ts")
-    merged = states.groupBy("domain", "metric", "tag", step_bucket).agg(
+    merged = states.groupBy(*group_labels, step_bucket).agg(
         *_state_aggs(impl)
     )
-    derived = with_derived_stats(merged)
+    derived = with_derived_stats(_restore_labels(merged, group_labels))
     return _range_stat_select(derived, stat, impl, fn, fn_args)
+
+
+_ALL_LABELS = ("domain", "metric", "tag")
+
+
+def _vector_agg_labels(
+    by: tuple[str, ...] | None, without: tuple[str, ...] | None
+) -> list[str]:
+    """Resolve PromQL by/without to the label columns kept as grouping
+    keys.  Default (neither given): every label — plain per-series read."""
+    if by is not None and without is not None:
+        raise ValueError("pass at most one of by= / without=")
+    for labels in (by, without):
+        bad = set(labels or ()) - set(_ALL_LABELS)
+        if bad:
+            raise ValueError(
+                f"unknown aggregation label(s) {sorted(bad)}; "
+                f"labels are {_ALL_LABELS}"
+            )
+    if by is not None:
+        return [l for l in _ALL_LABELS if l in by]
+    if without is not None:
+        return [l for l in _ALL_LABELS if l not in without]
+    return list(_ALL_LABELS)
+
+
+def _restore_labels(df, group_labels: list[str]):
+    """Aggregated-away label columns come back as typed NULLs so every
+    downstream consumer (stat select, fn windows, ordering) sees the
+    full (domain, metric, tag) shape."""
+    for l in _ALL_LABELS:
+        if l not in group_labels:
+            df = df.withColumn(l, F.lit(None).cast("string"))
+    return df
 
 
 def _range_stat_select(derived, stat: str, impl: str, fn, fn_args):
@@ -546,13 +607,28 @@ def record_rule(
             stat_side["bucket_ts"], "stat_value", scored["value"],
         )
     if full and store.current_snapshot(table) is not None:
-        return store.overwrite_range(
+        snap = store.overwrite_range(
             table, out, "bucket_ts",
             "1900-01-01 00:00:00", "9999-01-01 00:00:00",
         )
-    if len(out.take(1)) == 0:
+    elif len(out.take(1)) == 0:
         return None
-    return store.append(table, out)
+    else:
+        snap = store.append(table, out)
+    if hasattr(store, "set_meta"):
+        # persist the rule's definition as table properties so a later
+        # tier refresh can rebuild the rule without the caller re-typing
+        # the spec (ADVICE r3: --refresh left rule_* tables silently
+        # stale; jobs/rollup_job.py replays these specs with full=True)
+        store.set_meta(
+            table,
+            rule_spec={
+                "rule": rule, "metric": metric, "step_s": step_s,
+                "fn": fn, "fn_args": fn_args, "stat": stat,
+                "end": end, "sel": sel,
+            },
+        )
+    return snap
 
 
 def _label_re_filter(df, domain_re: str | None, tag_re: str | None,
@@ -711,12 +787,19 @@ def query_range_hist(
     n_bins: int | None = None,
     domain: str | None = None,
     tag: str | None = None,
+    include_archive: bool = False,
 ):
     """Percentile ``query_range``: serve a q-quantile series at any step
     a histogram tier divides, by EXACT bin-count addition from the
     coarsest dividing hist tier (hist_1d for day-multiple steps, else
     hist_1h) — the same never-recompute-from-raw discipline as
     query_range, extended to the percentile family.
+
+    ``include_archive=True`` additionally decodes the zone-map-pruned
+    ``archive_hist_{tier}`` chunks (operators/archive.py) and unions
+    them in before the bin merge, so percentile reads cross the
+    hot/cold retention boundary exactly like query_range's states do —
+    bin counts are integers, so the walk is bit-identical either side.
 
     (lo, hi, n_bins) default to the binning params persisted with the
     tier (store meta, written by the pipeline); passing values that
@@ -770,7 +853,14 @@ def query_range_hist(
             f"hist_{tier} was built with {s_params}; bin indices are only "
             "meaningful against the build edges"
         )
-    h = store.read(f"hist_{tier}", t_from=start, t_to=end)
+    if include_archive:
+        from fischer_spark.operators.archive import read_tier_with_archive
+
+        h = read_tier_with_archive(
+            store, tier, t_from=start, t_to=end, table_prefix="hist"
+        )
+    else:
+        h = store.read(f"hist_{tier}", t_from=start, t_to=end)
     h = h.filter(
         (F.col("bucket_ts") >= F.lit(start)) & (F.col("bucket_ts") < F.lit(end))
     )

@@ -73,6 +73,10 @@ def _state_kinds(df: DataFrame) -> dict[str, str]:
             continue
         if isinstance(f.dataType, T.LongType):
             kinds[f.name] = "i64-gorilla-v1"
+        elif isinstance(f.dataType, T.IntegerType):
+            # hist tier `bin` column: widen to i64 on encode, narrow back
+            # on decode (values are small bin indices — lossless)
+            kinds[f.name] = "i32-gorilla-v1"
         elif isinstance(f.dataType, T.DoubleType):
             kinds[f.name] = "f64-gorilla-v1"
         elif isinstance(f.dataType, T.DecimalType):
@@ -82,8 +86,8 @@ def _state_kinds(df: DataFrame) -> dict[str, str]:
         else:
             raise TypeError(
                 f"archive: unsupported state column {f.name}: {f.dataType} "
-                "(long/double/decimal only — tier state tables hold nothing "
-                "else by construction)"
+                "(long/int/double/decimal only — tier state tables hold "
+                "nothing else by construction)"
             )
     return kinds
 
@@ -119,7 +123,7 @@ def _archive_schema(key_id: bool) -> T.StructType:
 
 def _encode_series(col: pd.Series, codec: str) -> dict[str, bytes]:
     """One state column → its byte stream(s); decimals emit two limbs."""
-    if codec == "i64-gorilla-v1":
+    if codec in ("i64-gorilla-v1", "i32-gorilla-v1"):
         return {"": _enc_i64(col.to_numpy(dtype=np.int64))}
     if codec == "f64-gorilla-v1":
         return {"": encode_values(col.to_numpy(dtype=np.float64))}
@@ -141,6 +145,8 @@ def _decode_series(
 ):
     if codec == "i64-gorilla-v1":
         return _dec_i64(blobs[name], n)
+    if codec == "i32-gorilla-v1":
+        return _dec_i64(blobs[name], n).astype(np.int32)
     if codec == "f64-gorilla-v1":
         return decode_values(blobs[name], n)
     scale = int(codec.rsplit(",", 1)[1])
@@ -163,8 +169,13 @@ def encode_state_chunks(states: DataFrame, chunk_window: str = "1mo") -> DataFra
     kinds = _state_kinds(states)
     schema = _archive_schema(key_id="key_id" in keys)
 
+    # long-form tables (histograms) hold several rows per bucket — the
+    # in-chunk order must still be total for a deterministic byte stream
+    sort_cols = ["bucket_ts"] + (["bin"] if "bin" in kinds else [])
+    cnt_col = "cnt" if "cnt" in kinds else ("bin_cnt" if "bin_cnt" in kinds else None)
+
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts")
+        pdf = pdf.sort_values(sort_cols)
         ts = pdf["bucket_ts"].values.astype("datetime64[us]").astype(np.int64)
         blobs: dict[str, bytes] = {}
         for name, codec in kinds.items():
@@ -180,7 +191,7 @@ def encode_state_chunks(states: DataFrame, chunk_window: str = "1mo") -> DataFra
                 "ts_bytes": [encode_timestamps(ts)],
                 "state_bytes": [blobs],
                 "state_codecs": [dict(kinds)],
-                "stat_cnt": [int(pdf["cnt"].sum())],
+                "stat_cnt": [int(pdf[cnt_col].sum()) if cnt_col else len(pdf)],
             }
         )
         return pd.DataFrame(row)
@@ -240,25 +251,66 @@ def archive_tier(
     tier: str,
     before: str,
     chunk_window: str = "1mo",
+    table_prefix: str = "rollup",
 ) -> dict[str, str]:
-    """Move ``rollup_{tier}`` rows with ``bucket_ts < before`` into the
-    compressed ``archive_{tier}`` table (append) and shrink the live
-    tier to the remaining horizon (overwrite) — the cold half of the
-    retention ladder.  Returns the two snapshot ids.
+    """Move ``{table_prefix}_{tier}`` rows with ``bucket_ts < before``
+    into the compressed ``archive_{prefix suffix}`` table and shrink the
+    live tier to the remaining horizon — the cold half of the retention
+    ladder.  Returns the snapshot ids it committed.
 
-    The split point is remembered per chunk via t_start/t_end, so
-    ``read_tier_with_archive`` never double-counts: live and archived
-    ranges are disjoint by construction (archive holds strictly
-    pre-``before`` buckets)."""
-    live = store.read(f"rollup_{tier}")
+    IDEMPOTENT AND CRASH-RECOVERABLE (ADVICE r3, medium): the move is
+    two commits (archive write, then live shrink) and a failure between
+    them leaves the cold rows both live and archived.  To make re-running
+    with the same (or a later) ``before`` a repair path rather than a
+    duplicator, the archive side is an overwrite-merge, not a blind
+    append: existing archive chunks whose range overlaps the new cold
+    rows are decoded, merged with the cold rows, deduped on
+    (key, bucket_ts) — duplicate rows are bit-identical states from the
+    same tier commit — re-encoded, and committed via
+    ``overwrite_range(t_end >= lo)``, which atomically replaces exactly
+    the overlapping chunks.  Chunks strictly before the new cold range
+    are never decoded or rewritten, so steady-state periodic archiving
+    only touches the boundary window.  Reads between the two commits of
+    a crashed run can still double-count the in-flight window; the
+    invariant after any completed run is exact disjointness.
+
+    ``table_prefix`` selects which tier family to archive: ``rollup``
+    (fixed64/decimal state tables) or ``hist`` (long-form histogram
+    (key, bucket_ts, bin, n) tables — all-long columns, same codec)."""
+    live_table = f"{table_prefix}_{tier}"
+    archive_table = (
+        f"archive_{tier}" if table_prefix == "rollup" else f"archive_{table_prefix}_{tier}"
+    )
+    live = store.read(live_table)
     cold = live.filter(F.col("bucket_ts") < F.lit(before))
     hot = live.filter(F.col("bucket_ts") >= F.lit(before))
-    snaps = {}
-    snaps[f"archive_{tier}"] = store.append(
-        f"archive_{tier}", encode_state_chunks(cold, chunk_window)
+    snaps: dict[str, str] = {}
+    lo_row = cold.agg(F.min("bucket_ts").alias("lo")).collect()[0]
+    if lo_row["lo"] is None:
+        # nothing below the cutoff — possibly a re-run after a completed
+        # archive: no archive commit, live rewrite is a no-op shrink
+        snaps[live_table] = store.overwrite_range(
+            live_table, hot, "bucket_ts",
+            "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+        )
+        return snaps
+    lo = lo_row["lo"].isoformat(sep=" ")
+    to_encode = cold
+    if store.current_snapshot(archive_table) is not None:
+        chunks = store.read(archive_table)
+        overlapping = chunks.filter(F.col("t_end") >= F.lit(lo))
+        prev_rows = decode_state_chunks(overlapping, live.schema)
+        keys = _key_cols(live) + ["tier", "bucket_ts"]
+        if "bin" in live.columns:  # long-form hist: (key, bucket, bin) is the row id
+            keys.append("bin")
+        to_encode = prev_rows.unionByName(cold).dropDuplicates(keys)
+    snaps[archive_table] = store.overwrite_range(
+        archive_table,
+        encode_state_chunks(to_encode, chunk_window),
+        "t_end", lo, "9999-01-01 00:00:00",
     )
-    snaps[f"rollup_{tier}"] = store.overwrite_range(
-        f"rollup_{tier}", hot, "bucket_ts",
+    snaps[live_table] = store.overwrite_range(
+        live_table, hot, "bucket_ts",
         "1900-01-01 00:00:00", "9999-01-01 00:00:00",
     )
     return snaps
@@ -269,25 +321,29 @@ def read_tier_with_archive(
     tier: str,
     t_from: str | None = None,
     t_to: str | None = None,
+    table_prefix: str = "rollup",
 ) -> DataFrame:
     """Tier-state rows across the hot/cold boundary: the live
-    ``rollup_{tier}`` unioned with the zone-map-pruned decode of
-    ``archive_{tier}`` (chunks whose [t_start, t_end] misses the window
+    ``{table_prefix}_{tier}`` unioned with the zone-map-pruned decode of
+    its archive table (chunks whose [t_start, t_end] misses the window
     are dropped on their tiny stat columns, never decoded).  Output is
     exactly the pre-archive tier table's shape, so every downstream
-    consumer (query_range state re-agg, detectors, calendar merges)
-    works unchanged on it."""
+    consumer (query_range state re-agg, query_range_hist percentile
+    walks, detectors, calendar merges) works unchanged on it."""
+    archive_table = (
+        f"archive_{tier}" if table_prefix == "rollup" else f"archive_{table_prefix}_{tier}"
+    )
     # t_from/t_to reach the manifest read so day-partitioned commits
     # prune whole directories before the row filters below
-    live = store.read(f"rollup_{tier}", t_from=t_from, t_to=t_to)
+    live = store.read(f"{table_prefix}_{tier}", t_from=t_from, t_to=t_to)
     out_live = live
     if t_from is not None:
         out_live = out_live.filter(F.col("bucket_ts") >= F.lit(t_from))
     if t_to is not None:
         out_live = out_live.filter(F.col("bucket_ts") < F.lit(t_to))
-    if store.current_snapshot(f"archive_{tier}") is None:
+    if store.current_snapshot(archive_table) is None:
         return out_live
-    chunks = store.read(f"archive_{tier}")
+    chunks = store.read(archive_table)
     if t_from is not None:
         chunks = chunks.filter(F.col("t_end") >= F.lit(t_from))
     if t_to is not None:

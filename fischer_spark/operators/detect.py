@@ -425,6 +425,22 @@ def alert_for_intervals(
     missing buckets.  Islands are keyed on bucket_index − row_number —
     exact integer arithmetic that breaks on any gap in the bucket grid.
 
+    **``for`` convention — BUCKET COVERAGE, not Prometheus elapsed time
+    (read this before comparing to a Prometheus rule):** a run fires
+    when ``n_buckets * step >= for_s``.  A tier bucket is an aggregate
+    asserting the condition held over its whole step-width window, so n
+    consecutive true buckets attest n*step seconds of condition time —
+    3 true hourly buckets attest 3h and fire a ``for: 3h`` rule, with
+    ``fires_at = starts_at + for_s`` possibly at ``ends_at + step`` (the
+    boundary the attested time completes at).  Prometheus evaluates
+    INSTANT samples, where the first sample attests a point, not an
+    interval, so its elapsed-time rule is ``(n-1)*step >= for_s`` and
+    needs 4 hourly samples for 3h.  Consumers porting Prometheus rules
+    onto tier buckets should subtract one step from ``for`` (or accept
+    firing one bucket earlier).  The streaming evaluator
+    (streaming/rollup_stream.streaming_alerts) implements the identical
+    convention — the seam test pins them together.
+
     One shuffle on the series key (window + groupBy share it).  Output:
     (key, alertname, state, starts_at, fires_at, ends_at, n_buckets)
     with fires_at = starts_at + for_s, NULL while only pending — the

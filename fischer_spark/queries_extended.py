@@ -1406,3 +1406,107 @@ def archive_roundtrip_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_state_chunks(states, chunk_window="1w"), states.schema
     )
     return _derived_select(back)
+
+
+@register(
+    "agg_by_label_events",
+    """
+    WITH states AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT)) AS TIMESTAMP) AS bucket_ts,
+             count(value) AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS sq,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT tag AS label, bucket_ts, cnt,
+           CAST(s AS DOUBLE) AS sum_v, min_v, max_v,
+           CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+           CASE WHEN cnt < 2 THEN NULL ELSE
+             sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
+           END AS stddev_v
+    FROM states
+""",
+)
+def agg_by_label_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector aggregation by a label dimension (query_range's
+    ``by=`` surface, api.py): per-series 1h tier states — keyed on
+    (event_type, tag=user parity), 10 series — are MERGED BY EXACT STATE
+    ADDITION across the dropped event_type dimension at a 2h step,
+    ``sum/count/min/max/mean/stddev by (tag)``.  The oracle aggregates
+    raw directly per (parity, 2h); a hash match proves cross-SERIES
+    state merging is the same exact algebra as cross-TIER merging —
+    the property the ``by=``/``without=`` API composes onto tier reads
+    (tests additionally pin query_range(by=('domain',)) == a rollup
+    keyed on domain alone, bit-for-bit)."""
+    from fischer_spark.operators.rollup import (
+        _state_aggs,
+        rollup_points,
+        with_derived_stats,
+    )
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("domain"),
+        F.lit("event_value").alias("metric"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("tag"),
+        F.col("ts").alias("bucket_ts"),
+        "value",
+    )
+    t1h = rollup_points(pts, "1h")  # 1h states per (domain, metric, tag)
+    step = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / 7200).cast("long") * 7200
+    ).alias("bucket_ts")
+    # `by (tag)`: drop domain/metric from the grouping — state addition
+    # across series, exactly what query_range(by=("tag",)) performs
+    merged = t1h.groupBy("tag", step).agg(*_state_aggs("decimal"))
+    d = with_derived_stats(merged)
+    return d.select(
+        F.col("tag").alias("label"), "bucket_ts", "cnt",
+        F.col("sum").cast("double").alias("sum_v"),
+        F.col("min").alias("min_v"), F.col("max").alias("max_v"),
+        "mean", F.col("stddev").alias("stddev_v"),
+    )
+
+
+@register(
+    "archive_roundtrip_hist_1h_events",
+    """
+    SELECT event_type AS series_key, date_trunc('hour', ts) AS bucket_ts,
+           CASE WHEN value < 0.0 THEN -1
+                WHEN value >= 100.0 THEN 25
+                ELSE CAST(floor((value - 0.0) / 4.0) AS INTEGER) END AS bin,
+           count(*) AS bin_cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+""",
+)
+def archive_roundtrip_hist_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-tier archive codec under the oracle hash gate (the
+    percentile-family analogue of archive_roundtrip_1h_events): the 1h
+    long-form histogram states — several (bin, count) rows per bucket,
+    int32 bin indices, int64 counts — are encoded into compressed
+    archive chunks (dod over duplicate-heavy timestamps; gorilla'd
+    int64 bit patterns for bins and counts) and decoded back.  The
+    oracle re-derives the binning from raw with the same IEEE-exact
+    floor arithmetic (lo=0, hi=100, 25 bins, width exactly 4.0), so a
+    hash match proves the long-form archive round trip is bit-exact —
+    which is what lets --archive cover the percentile surface and
+    query_range_hist(include_archive=True) read across the hot/cold
+    boundary without approximation."""
+    from fischer_spark.operators.archive import (
+        decode_state_chunks,
+        encode_state_chunks,
+    )
+    from fischer_spark.operators.histogram import hist_states
+    from fischer_spark.queries import _events_series
+
+    h = hist_states(_events_series(spark, sf_dir), "1h", lo=0.0, hi=100.0, n_bins=25)
+    back = decode_state_chunks(
+        encode_state_chunks(h, chunk_window="1w"), h.schema
+    )
+    return back.select(
+        F.col("domain").alias("series_key"), "bucket_ts", "bin", "bin_cnt"
+    )

@@ -293,7 +293,14 @@ def _alert_state_fn_factory(step_us: int, for_s: int, alertname: str):
                 idx = int(pd.Timestamp(ts).value // 1000 // step_us)
                 if not ok:
                     if start_idx is not None:
-                        out.append((key[0], alertname, "resolved", ts))
+                        # a gap before this false bucket means the run
+                        # already ended one step after its last bucket —
+                        # same retroactive timestamp as the true-bucket
+                        # branch below, so resolution timing does not
+                        # depend on the polarity of the next observed
+                        # record (ADVICE r3)
+                        at = ts_of(last_idx + 1) if idx > last_idx + 1 else ts
+                        out.append((key[0], alertname, "resolved", at))
                         start_idx, last_idx, fired = None, None, 0
                     continue
                 if start_idx is not None and idx > last_idx + 1:

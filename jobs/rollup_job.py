@@ -239,6 +239,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             for tier, snap in hsnaps.items():
                 print(f"  refreshed hist_{tier}: snapshot={snap}")
+        # recorded rules must not go stale either (ADVICE r3): late data
+        # merged below a rule's high-water mark never re-triggers its
+        # incremental path, so rebuild every existing rule_* table from
+        # its persisted spec with full=True — the same lockstep rule as
+        # the calendar/hist tiers above.  Rule tables are ≤ keys × buckets
+        # at the rule's step, far smaller than the tiers they derive from.
+        import os as _os
+
+        from fischer_spark.api import record_rule
+
+        rule_tables = sorted(
+            d for d in (_os.listdir(args.warehouse) if _os.path.isdir(args.warehouse) else [])
+            if d.startswith("rule_") and store.current_snapshot(d) is not None
+        )
+        for t in rule_tables:
+            spec = store.meta(t).get("rule_spec")
+            if spec is None:
+                print(
+                    f"  WARNING: {t} predates spec persistence and may be "
+                    "STALE vs the refreshed tiers — re-run --record-rule "
+                    "to rebuild it"
+                )
+                continue
+            snap = record_rule(
+                store, spec["rule"], spec["metric"], spec["step_s"],
+                fn=spec.get("fn"), fn_args=spec.get("fn_args"),
+                stat=spec.get("stat", "mean"),
+                end=spec.get("end", "9999-01-01 00:00:00"),
+                full=True, **(spec.get("sel") or {}),
+            )
+            print(f"  rebuilt {t} from refreshed tiers: snapshot={snap}")
         print(f"run {args.run_id}: refresh complete")
         spark.stop()
         return 0
@@ -319,21 +350,29 @@ def main(argv: list[str] | None = None) -> int:
 
             now = _dt.datetime.fromisoformat(args.retain_as_of)
             for tier in dict.fromkeys(args.archive):
-                table = f"rollup_{tier}"
                 horizon = TIER_RETENTION_S.get(tier)
-                if store.current_snapshot(table) is None or horizon is None:
+                if horizon is None:
                     # infinite-retention tiers (1d) never expire, so there
                     # is nothing to move cold
                     continue
                 cutoff = (
                     now - _dt.timedelta(seconds=horizon)
                 ).isoformat(sep=" ")
-                asnaps = archive_tier(store, tier, cutoff)
-                archived.add(table)
-                print(
-                    f"  archived {table} before {cutoff}: "
-                    + ", ".join(f"{t}={s}" for t, s in asnaps.items())
-                )
+                # both tier families go cold the same way: the hist
+                # long-form (key, bucket, bin, n) rows are all-integer and
+                # use the same chunk codec, so --archive covers the
+                # percentile surface too (query_range_hist reads across
+                # the boundary with include_archive=True)
+                for prefix in ("rollup", "hist"):
+                    table = f"{prefix}_{tier}"
+                    if store.current_snapshot(table) is None:
+                        continue
+                    asnaps = archive_tier(store, tier, cutoff, table_prefix=prefix)
+                    archived.add(table)
+                    print(
+                        f"  archived {table} before {cutoff}: "
+                        + ", ".join(f"{t}={s}" for t, s in asnaps.items())
+                    )
         for table, tier, ts_col in targets:
             if store.current_snapshot(table) is None or table in archived:
                 continue
@@ -349,6 +388,7 @@ def main(argv: list[str] | None = None) -> int:
     for table in ("series", "series_filled", "rollup_1m", "rollup_1h",
                   "rollup_1d", "rollup_1w", "rollup_1mo", "rollup_1y",
                   "archive_1m", "archive_1h", "archive_1d",
+                  "archive_hist_1h", "archive_hist_1d",
                   "hist_1h", "hist_1d", "chunks", "key_dim", *rule_tables):
         if store.current_snapshot(table) is not None:
             s = store.maybe_compact(table)

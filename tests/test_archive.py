@@ -142,6 +142,148 @@ def test_archive_compresses(spark):
     assert packed < raw_bytes * 0.7, (packed, raw_bytes)
 
 
+def test_archive_tier_rerun_is_idempotent(spark, tmp_path):
+    """Re-running archive_tier with the same cutoff must not duplicate
+    cold rows (ADVICE r3 medium): the archive side is an overwrite-merge,
+    so the second run rewrites identical content and the unioned read
+    still equals the original tier exactly."""
+    states = _tier(spark, "decimal", n=3000, seed=41)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    archive_tier(store, "1h", str(cut), chunk_window="1w")
+    archive_tier(store, "1h", str(cut), chunk_window="1w")  # re-run
+    assert_df_equal(read_tier_with_archive(store, "1h"), states, tol=0)
+
+
+def test_archive_tier_crash_between_commits_repairs(spark, tmp_path):
+    """Simulate the failure mode the ADVICE names: the archive commit
+    lands but the live shrink doesn't.  Re-running with the same cutoff
+    must repair — no double-counted states, live trimmed."""
+    states = _tier(spark, "decimal", n=3000, seed=43)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+
+    real_ovw = store.overwrite_range
+    calls = {"n": 0}
+
+    def crashing(table, *a, **k):
+        if table.startswith("rollup_"):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before live shrink")
+        return real_ovw(table, *a, **k)
+
+    store.overwrite_range = crashing
+    try:
+        archive_tier(store, "1h", str(cut), chunk_window="1w")
+    except RuntimeError:
+        pass
+    store.overwrite_range = real_ovw
+    assert calls["n"] == 1  # the crash hit the live-shrink commit
+    # cold rows are now BOTH archived and live — the bad state
+    # re-run with the same cutoff = the repair path
+    archive_tier(store, "1h", str(cut), chunk_window="1w")
+    assert store.read("rollup_1h").filter(
+        F.col("bucket_ts") < F.lit(str(cut))
+    ).count() == 0
+    assert_df_equal(read_tier_with_archive(store, "1h"), states, tol=0)
+
+
+def test_archive_tier_later_cutoff_extends(spark, tmp_path):
+    """Periodic archiving: a second run with a LATER cutoff moves only
+    the newly cold range; untouched old chunks are not rewritten and
+    the union stays exact."""
+    states = _tier(spark, "fixed64", n=3000, seed=47)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    archive_tier(store, "1h", str(cut1), chunk_window="1w")
+    archive_tier(store, "1h", str(cut2), chunk_window="1w")
+    live = store.read("rollup_1h")
+    assert live.filter(F.col("bucket_ts") < F.lit(str(cut2))).count() == 0
+    assert_df_equal(read_tier_with_archive(store, "1h"), states, tol=0)
+
+
+def _hist_tier(spark, n=3000, seed=53):
+    from fischer_spark.operators.histogram import hist_states
+    from fischer_spark.operators.series import build_series
+
+    pages = synth_pages(spark, n, seed=seed).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    return hist_states(
+        build_series(pages), "1h", lo=0.0, hi=float(1 << 20), n_bins=256
+    )
+
+
+def test_hist_archive_roundtrip_and_boundary_read(spark, tmp_path):
+    """The long-form histogram tier (several int rows per bucket)
+    archives with the same codec: bit-exact round trip, idempotent
+    re-run, and read_tier_with_archive(table_prefix='hist') serves the
+    exact pre-archive table across the hot/cold boundary."""
+    from fischer_spark.operators.archive import (
+        decode_state_chunks as _dec,
+        encode_state_chunks as _enc,
+    )
+
+    h = _hist_tier(spark)
+    back = _dec(_enc(h, chunk_window="1w"), h.schema)
+    assert_df_equal(back, h, tol=0)
+
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("hist_1h", h)
+    lo, hi = h.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    archive_tier(store, "1h", str(cut), chunk_window="1w", table_prefix="hist")
+    archive_tier(store, "1h", str(cut), chunk_window="1w", table_prefix="hist")
+    assert store.current_snapshot("archive_hist_1h") is not None
+    live = store.read("hist_1h")
+    assert live.filter(F.col("bucket_ts") < F.lit(str(cut))).count() == 0
+    merged = read_tier_with_archive(store, "1h", table_prefix="hist")
+    assert_df_equal(merged, h, tol=0)
+
+
+def test_query_range_hist_include_archive(spark, tmp_path):
+    """query_range_hist(include_archive=True) over a half-archived
+    hist_1h tier equals the same read over the never-archived tier —
+    integer bin counts make the percentile walk bit-identical across
+    the boundary."""
+    from fischer_spark.api import query_range_hist
+
+    params = (0.0, float(1 << 20), 256)
+    h = _hist_tier(spark)
+    store_ref = ParquetManifestStore(spark, str(tmp_path / "ref"))
+    store_ref.append("hist_1h", h)
+    store_cold = ParquetManifestStore(spark, str(tmp_path / "cold"))
+    store_cold.append("hist_1h", h)
+    lo, hi = h.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    archive_tier(store_cold, "1h", str(cut), chunk_window="1w", table_prefix="hist")
+
+    start, end = "2024-01-01 00:00:00", "2024-12-31 00:00:00"
+    want = query_range_hist(
+        store_ref, None, start, end, 7200, q=0.95,
+        lo=params[0], hi=params[1], n_bins=params[2],
+    )
+    got = query_range_hist(
+        store_cold, None, start, end, 7200, q=0.95,
+        lo=params[0], hi=params[1], n_bins=params[2],
+        include_archive=True,
+    )
+    assert_df_equal(got, want, tol=0)
+    hot_only = query_range_hist(
+        store_cold, None, start, end, 7200, q=0.95,
+        lo=params[0], hi=params[1], n_bins=params[2],
+    )
+    assert hot_only.count() < want.count()
+
+
 def test_query_range_include_archive(spark, tmp_path):
     """query_range(include_archive=True) over a half-archived 1h tier
     equals query_range over the never-archived tier — the serving

@@ -262,3 +262,51 @@ def test_rollup_job_record_rule(tmp_path):
     # tests/test_api.py where the store is append-once.
     assert got.count() == want.count()
     assert set(got.columns) == set(want.columns)
+
+
+def test_refresh_rebuilds_recorded_rules(tmp_path):
+    """--refresh must leave no rule_* table stale (ADVICE r3): late data
+    merged below a rule's high-water mark changes tier states the rule
+    already consumed, so the refresh path rebuilds every rule from its
+    persisted spec with full=True — after which the rule table equals a
+    from-scratch query_range over the REFRESHED tiers bit-for-bit."""
+    import sys
+
+    wh = str(tmp_path / "wh")
+    base = [
+        sys.executable, str(REPO / "jobs" / "rollup_job.py"),
+        "--warehouse", wh,
+    ]
+    p1 = subprocess.run(
+        base + [
+            "--synth-pages", "1500", "--seed", "6", "--run-id", "r1",
+            "--record-rule", "mean_1h:crawl_rate:3600",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    assert "rule_mean_1h: snapshot=" in p1.stdout
+
+    # late pages land INSIDE the already-recorded span (same generator
+    # span, different seed) — the incremental path would see no new
+    # buckets and silently serve stale values
+    p2 = subprocess.run(
+        base + ["--synth-pages", "400", "--seed", "7", "--refresh", "--run-id", "r2"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    assert "rebuilt rule_mean_1h from refreshed tiers" in p2.stdout
+
+    sys.path.insert(0, str(REPO))
+    from fischer_spark.api import query_range
+    from fischer_spark.session import get_spark
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from tests.conftest import assert_df_equal
+
+    spark = get_spark("rule_refresh_check", master="local[4]")
+    store = ParquetManifestStore(spark, wh)
+    got = store.read("rule_mean_1h").drop("stat_value")
+    want = query_range(
+        store, "crawl_rate", "1900-01-01 00:00:00", "9999-01-01 00:00:00", 3600
+    )
+    assert_df_equal(got, want, tol=0)

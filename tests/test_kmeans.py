@@ -66,6 +66,22 @@ def test_kmeans_inertia_nonincreasing(spark):
         prev = cur
 
 
+def test_kmeans_update_collect_is_at_most_k_rows(spark):
+    """The Lloyd reduce happens IN SPARK (VERDICT r3 #2): one update over
+    a deliberately over-partitioned input yields <= k rows — the ONLY
+    thing kmeans_fit collects per iteration — not O(k x n_partitions)
+    raw partials."""
+    from fischer_spark.operators.kmeans import _iteration_update
+
+    df = _blob_df(spark, n_per=60, n_parts=32)
+    cents = kmeans_fit(df, k=3, n_iter=1, seed=3)
+    upd = _iteration_update(df.select("embedding"), "embedding", cents)
+    rows = upd.collect()
+    assert len(rows) <= 3, len(rows)
+    # and the combine preserved the totals: n sums to the corpus size
+    assert sum(r["n"] for r in rows) == 3 * 60
+
+
 def test_kmeans_k_exceeds_corpus_raises(spark):
     df = _blob_df(spark, n_per=1)  # 3 rows
     with pytest.raises(ValueError, match="exceeds corpus"):

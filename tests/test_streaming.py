@@ -322,11 +322,18 @@ def test_streaming_alerts_match_batch_transitions(spark, tmp_path):
     # key "a": true h0-h4 (fires, for=3h), false h5 (resolves),
     #          true h7-h8 (pending; gap at h5-h6 means fresh run), false h9
     # key "b": true h0-h1 only (pending), false h2
+    # key "c": true h0-h1, MISSING h2, false h3 — the gap is discovered
+    #          from a FALSE bucket: resolved must still be retroactive at
+    #          h2 (= last_idx+1), same as discovery from a true bucket
+    #          (ADVICE r3: resolution timing must not depend on the
+    #          polarity of the next observed record)
     rows = [
         ("a", hr(h), v)
         for h, v in [(0, 9.0), (1, 9.0), (2, 9.0), (3, 9.0), (4, 9.0), (5, 1.0),
                      (7, 9.0), (8, 9.0), (9, 1.0)]
-    ] + [("b", hr(h), v) for h, v in [(0, 9.0), (1, 9.0), (2, 1.0)]]
+    ] + [("b", hr(h), v) for h, v in [(0, 9.0), (1, 9.0), (2, 1.0)]] + [
+        ("c", hr(h), v) for h, v in [(0, 9.0), (1, 9.0), (3, 1.0)]
+    ]
     schema = "domain string, bucket_ts timestamp, value double"
     # split mid-run: the a-run h0-h4 spans the batch boundary at h2
     batches = [
@@ -385,3 +392,7 @@ def test_streaming_alerts_match_batch_transitions(spark, tmp_path):
     assert ("a", "resolved", hr(5)) in got         # false bucket resolves
     assert ("a", "pending", hr(7)) in got          # gap => fresh run
     assert not any(d == "b" and e == "firing" for d, e, _ in got)
+    # gap discovered from a false bucket resolves retroactively at h2,
+    # never at the false bucket's own h3
+    assert ("c", "resolved", hr(2)) in got
+    assert ("c", "resolved", hr(3)) not in got

@@ -94,6 +94,17 @@ def main() -> None:
         "subquery_max_rate_events",
         "corr_count_value_events",
         "archive_roundtrip_1h_events",
+        # round-4 surface: BENCH covers what CORRECTNESS covers (VERDICT
+        # r3 next #6) — the remaining never-benched oracle queries plus
+        # the queries new this round
+        "minhash_band_candidates_8x4",
+        "ann_topk_ivf_embeddings",
+        "stratified_sample_documents",
+        "semantic_dedup_embeddings",
+        "rare_token_ratio_documents",
+        "agg_by_label_events",
+        "archive_roundtrip_hist_1h_events",
+        "ann_topk_ivf_trained_embeddings",
     ]
     timings: dict[str, float] = {}
 

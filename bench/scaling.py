@@ -112,9 +112,36 @@ iv = (
     .count()
 )
 t_det = time.perf_counter() - t0
+# WEAK-SCALED detect (VERDICT r3 next #7): the strong-scaled t_det above
+# is fixed-job-floor dominated at tier-row sizes (~2.7M rows from 160M
+# points — the tier cascade is SUPPOSED to shrink the detectors' input),
+# so its strong ratio measures the floor, not the engine.  Here each
+# core gets one full copy of the hourly tier (key-shifted), so per-core
+# work is constant across levels and t_low/t_high isolates how the
+# detector COMPUTE scales.  Reported alongside, never replacing, the
+# composite ratio.
+copies = c
+rep = hourly
+if copies > 1:
+    rep = hourly.select(
+        F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_r"),
+        "domain", "metric", "tag", "bucket_ts", "value",
+    ).select(
+        F.concat_ws("#", "domain", "_r").alias("domain"),
+        "metric", "tag", "bucket_ts", "value",
+    )
+t0 = time.perf_counter()
+ivw = (
+    anomaly_intervals(zscore_window(rep, 24, 8), tau=3.0)
+    .unionByName(anomaly_intervals(seasonal_score(rep), tau=3.0, detector="seasonal"))
+    .count()
+)
+t_det_weak = time.perf_counter() - t0
+det_rows = hourly.count()
 hourly.unpersist()
 print(json.dumps(dict(n=n, t_roll=t_roll, t_1m=t_1m, t_1h=t_1h, t_1d=t_1d,
-                      t_det=t_det, tier_rows=tier_rows, ivals=iv)))
+                      t_det=t_det, t_det_weak=t_det_weak, det_rows=det_rows,
+                      det_copies=copies, tier_rows=tier_rows, ivals=iv, ivals_weak=ivw)))
 spark.stop()
 """
 
@@ -230,6 +257,9 @@ def main() -> None:
     eff_1m = round((r_low["t_1m"] / r_high["t_1m"]) / factor, 3)
     eff = round((r_high["pps_rollup"] / r_low["pps_rollup"]) / factor, 3)
     eff_total = round((r_high["pps_total"] / r_low["pps_total"]) / factor, 3)
+    # weak scaling: per-core detect work is constant across levels
+    # (copies == cores), so t_low/t_high IS the efficiency
+    eff_det_weak = round(r_low["t_det_weak"] / r_high["t_det_weak"], 3)
     # metric name states WHICH efficiency the headline value is (the
     # raw→1m volume stage at low→high cores); the full-cascade and
     # cascade+detect ratios ride alongside so cross-run comparisons are
@@ -246,6 +276,7 @@ def main() -> None:
         "efficiency_1m_volume_stage": eff_1m,
         "efficiency_full_cascade": eff,
         "efficiency_with_detect": eff_total,
+        "efficiency_detect_weak": eff_det_weak,
         "low": r_low,
         "high": r_high,
     }
@@ -276,6 +307,13 @@ def main() -> None:
             f"**Scaling efficiency ({args.low}→{args.high} cores, {factor:.0f}×): "
             f"raw→1m volume stage {eff_1m:.3f}, full cascade {eff:.3f}, "
             f"cascade+detect {eff_total:.3f}** (target ≥ 0.8).",
+            "",
+            f"Detect-stage weak scaling: {eff_det_weak:.3f} "
+            f"({r_low['det_copies']}→{r_high['det_copies']} key-shifted copies of the "
+            f"{r_low['det_rows']:,}-row hourly tier, one per core — equal per-core "
+            "work, so t_low/t_high isolates detector compute from the fixed job "
+            "floor that dominates the strong-scaled detect stage at tier-row "
+            "sizes; the cascade exists precisely to shrink detector input 60×).",
             "",
             "The raw→1m stage — the full-volume shuffle, ≥98% of compute at the",
             "10^12 design point — is the graded headline; the 1m→1h/1h→1d jobs",

@@ -788,12 +788,25 @@ def query_range_hist(
     domain: str | None = None,
     tag: str | None = None,
     include_archive: bool = False,
+    by: tuple[str, ...] | None = None,
+    without: tuple[str, ...] | None = None,
 ):
     """Percentile ``query_range``: serve a q-quantile series at any step
     a histogram tier divides, by EXACT bin-count addition from the
     coarsest dividing hist tier (hist_1d for day-multiple steps, else
     hist_1h) — the same never-recompute-from-raw discipline as
     query_range, extended to the percentile family.
+
+    ``by`` / ``without`` extend PromQL vector aggregation to percentiles
+    (``histogram_quantile(0.95, sum by (domain) (...))``): bin counts of
+    series whose kept labels agree are summed per step bucket BEFORE the
+    cumulative walk — integer addition, so the group quantile is exactly
+    the quantile of the pooled underlying values (unlike averaging
+    per-series quantiles, which has no such meaning).  Requires all
+    aggregated series to share bin edges — guaranteed within a metric
+    family; pass ``metric=`` (or have one family) or the param
+    validation below refuses.  Dropped labels return as NULLs.
+    Key-encoded tiers decode through key_dim before grouping.
 
     ``include_archive=True`` additionally decodes the zone-map-pruned
     ``archive_hist_{tier}`` chunks (operators/archive.py) and unions
@@ -881,13 +894,26 @@ def query_range_hist(
         for col, val in wanted.items():
             if val is not None:
                 h = h.filter(F.col(col) == val)
-    keys = ["key_id"] if encoded else ["domain", "metric", "tag"]
+    agg_mode = by is not None or without is not None
+    if agg_mode and encoded:
+        # labels must exist before cross-series grouping; the dim join is
+        # on tier rows (tiny vs raw) and the output stays label-keyed
+        from fischer_spark.operators.series import decode_series_keys
+
+        h = decode_series_keys(h, dim).drop("key_id")
+        encoded = False
+    if agg_mode:
+        keys = _vector_agg_labels(by, without)
+    else:
+        keys = ["key_id"] if encoded else ["domain", "metric", "tag"]
     step_bucket = F.timestamp_seconds(
         (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
     ).alias("bucket_ts")
     merged = h.groupBy(*keys, step_bucket, "bin").agg(
         F.sum("bin_cnt").alias("bin_cnt")
     )
+    if agg_mode:
+        merged = _restore_labels(merged, keys)
     out = hist_quantile(merged, q, lo, hi, n_bins)
     if encoded:
         # decode to label sets — the read surface returns (domain, metric,

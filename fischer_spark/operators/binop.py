@@ -84,6 +84,74 @@ def series_binop(
     return j.select(*on, ts_col, _op_expr(op, F.col("_va"), vb).alias("value"))
 
 
+def series_binop_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    op: str = "div",
+    on: tuple[str, ...] = ("domain",),
+    carry: tuple[str, ...] = ("domain", "metric", "tag"),
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    strict: bool = True,
+) -> DataFrame:
+    """PromQL MANY-TO-ONE vector matching (``a / on(labels) group_left b``):
+    every left sample pairs with the single right sample sharing its
+    ``on`` labels and timestamp — the ratio-to-group-aggregate shape
+    (``rate / on(domain) group_left sum by (domain)(rate)`` = each
+    series' share of its domain total).  The result carries the LEFT's
+    full label set (``carry``), per group_left semantics.
+
+    ``strict=True`` enforces PromQL's cardinality rule AT EXECUTION:
+    duplicate right rows per (on, ts) raise (``raise_error`` over a
+    count window on the right side — the "one" side is an aggregate,
+    tiny relative to the left, so the window is cheap and there is no
+    driver action).  The right side typically comes from
+    ``query_range(..., by=on)`` — exact-state aggregation — making
+    left/right bit-consistent.
+
+    Scale shape: one window on the small side + ONE equi-join on
+    (on labels, ts); NULL labels pair via the sentinel shadow keys;
+    division by zero yields NULL (same documented deviation as
+    series_binop)."""
+    missing = set(on) - set(carry)
+    if missing:
+        raise ValueError(f"on labels {sorted(missing)} missing from carry")
+    jk = [f"_jk{i}" for i in range(len(on) + 1)]
+
+    def shadow_cols(df: DataFrame):
+        return [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(f"_jk{i}")
+            for i, c in enumerate(on)
+        ] + [
+            F.coalesce(F.col(ts_col).cast("string"), F.lit("\x00")).alias(
+                f"_jk{len(on)}"
+            )
+        ]
+
+    l = left.select(*carry, F.col(ts_col), *shadow_cols(left),
+                    F.col(val_col).alias("_va"))
+    r = right.select(*shadow_cols(right), F.col(val_col).alias("_vb"))
+    if strict:
+        from pyspark.sql import Window
+
+        n = F.count(F.lit(1)).over(Window.partitionBy(*jk))
+        r = r.withColumn(
+            "_vb",
+            F.when(
+                n > 1,
+                F.raise_error(F.lit(
+                    "series_binop_grouped: many right samples share one "
+                    "(on, ts) key — group_left requires the right side "
+                    "unique per match group (aggregate it with by= first)"
+                )).cast("double"),
+            ).otherwise(F.col("_vb")),
+        )
+    j = l.join(r, jk, "inner")
+    return j.select(
+        *carry, ts_col, _op_expr(op, F.col("_va"), F.col("_vb")).alias("value")
+    )
+
+
 def series_offset(
     df: DataFrame, offset_s: int, ts_col: str = "bucket_ts"
 ) -> DataFrame:

@@ -511,7 +511,8 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_by_label_events",
     "archive_roundtrip_hist_1h_events",
     "ann_topk_ivf_trained_embeddings",
-    "semantic_dedup_kmeans_embeddings",
+    "hist_p95_by_label_events",
+    "share_of_domain_events",
     # --- last witnessed in r2 only (skipped by the r3 window) ---
     "lang_id_documents",
     "fingerprint_documents",

@@ -1409,6 +1409,114 @@ def archive_roundtrip_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hist_p95_by_label_events",
+    f"""
+  WITH pts AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+           date_trunc('day', ts) AS bucket_ts, value
+    FROM events
+  ),
+  h AS (
+    SELECT tag, bucket_ts, {_H_BIN_SQL} AS bin, count(*) AS bin_cnt
+    FROM pts GROUP BY 1, 2, 3
+  ),
+  c AS (
+    SELECT *,
+           sum(bin_cnt) OVER (PARTITION BY tag, bucket_ts ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(bin_cnt) OVER (PARTITION BY tag, bucket_ts) AS total
+    FROM h
+  ),
+  f AS (
+    SELECT tag, bucket_ts, min(bin) AS qbin, CAST(max(total) AS BIGINT) AS n
+    FROM c WHERE cum >= ceil(0.95 * total)
+    GROUP BY 1, 2
+  )
+  SELECT tag AS label, bucket_ts, n,
+         CASE WHEN qbin = -1 THEN {_H_LO}
+              WHEN qbin >= {_H_BINS} THEN {_H_HI}
+              ELSE {_H_LO} + (qbin + 0.5) * {_H_W} END AS quantile
+  FROM f
+""",
+)
+def hist_p95_by_label_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile vector aggregation (query_range_hist's ``by=`` surface):
+    1h histogram states keyed on (event_type, parity tag) have their
+    INTEGER bin counts summed across the dropped event_type dimension
+    into per-(tag, day) pooled histograms before the cumulative walk —
+    so the group p95 is exactly the p95 of the pooled underlying values
+    (averaging per-series quantiles has no such meaning).  The oracle
+    pools raw directly per (parity, day); hash match proves cross-series
+    bin merging composes exactly with the tier cascade."""
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+    from fischer_spark.sources.testdata import scan_testdata
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("domain"),
+        F.lit("event_value").alias("metric"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("tag"),
+        F.col("ts").alias("bucket_ts"),
+        "value",
+    )
+    h1h = hist_states(pts, "1h", _H_LO, _H_HI, _H_BINS)
+    # `by (tag)` at a 1d step: sum bin counts across (domain, metric)
+    pooled = (
+        h1h.groupBy(
+            "tag", F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "bin"
+        )
+        .agg(F.sum("bin_cnt").alias("bin_cnt"))
+        .withColumn("domain", F.lit(None).cast("string"))
+        .withColumn("metric", F.lit(None).cast("string"))
+    )
+    qd = hist_quantile(pooled, 0.95, _H_LO, _H_HI, _H_BINS)
+    return qd.select(F.col("tag").alias("label"), "bucket_ts", "n", "quantile")
+
+
+@register(
+    "share_of_domain_events",
+    """
+  WITH l AS (
+    SELECT event_type AS domain, CAST('event_rate' AS VARCHAR) AS metric,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+           date_trunc('hour', ts) AS bucket_ts, CAST(count(*) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2, 3, 4
+  ),
+  r AS (SELECT domain, bucket_ts, sum(v) AS tot FROM l GROUP BY 1, 2)
+  SELECT l.domain, l.metric, l.tag, l.bucket_ts,
+         CASE WHEN r.tot <> 0 THEN l.v / r.tot END AS value
+  FROM l JOIN r USING (domain, bucket_ts)
+""",
+)
+def share_of_domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL many-to-one vector matching (``l / on(domain) group_left
+    sum by (domain)(l)`` — operators/binop.series_binop_grouped): each
+    (domain, parity-tag) hourly rate divided by its domain total; the
+    result carries the left's full label set per group_left semantics,
+    and the strict mode's cardinality guard rides the plan (the right
+    side is unique per (domain, bucket) by construction here).  One
+    window on the small aggregated side + one equi-join — no Python,
+    no second scan of the fine series."""
+    from fischer_spark.operators.binop import series_binop_grouped
+    from fischer_spark.sources.testdata import scan_testdata
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    left = (
+        ev.groupBy(
+            F.col("event_type").alias("domain"),
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("tag"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("event_rate"))
+    )
+    right = left.groupBy("domain", "bucket_ts").agg(F.sum("value").alias("value"))
+    return series_binop_grouped(
+        left, right, op="div", on=("domain",), carry=("domain", "metric", "tag")
+    )
+
+
+@register(
     "agg_by_label_events",
     """
     WITH states AS (

@@ -686,6 +686,25 @@ def ann_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, probes, k=10, n_centroids=32, n_probe=16)
 
 
+@register("ann_topk_ivf_trained_embeddings")
+def ann_topk_ivf_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids (operators/kmeans.kmeans_fit as
+    the offline training job, its k×dim model passed into ann_topk_ivf —
+    the drop-in VERDICT r3 #4 asked to wire): data-adapted list centers
+    concentrate neighbors into fewer lists, so the same n_probe recalls
+    at least as much as the seeded-random default (recall ordering
+    pinned in tests/test_dedup_similarity.py).  Rows-only like the other
+    ANN forms — approximation has no exact SQL oracle; full-probe
+    exactness and recall bounds are the pytest gate."""
+    from fischer_spark.operators.dedup import ann_topk_ivf
+    from fischer_spark.operators.kmeans import kmeans_fit
+
+    emb = scan_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_fit(emb, k=16, n_iter=3, seed=7)
+    return ann_topk_ivf(emb, probes, k=10, n_probe=4, centroids=cents)
+
+
 @register("cosine_topk_embeddings", _COSINE_TOPK_SQL)
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine: probe set is broadcast, corpus scanned once;

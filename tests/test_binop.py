@@ -126,3 +126,56 @@ def test_series_offset_pairs_past_with_present(spark):
     # negative offset pairs the FUTURE sample (offset -1h)
     back = series_binop(df, series_offset(df, -3600), op="div", on=("domain",)).collect()
     assert len(back) == 4 and all(abs(r["value"] - 0.5) < 1e-12 for r in back)
+
+
+def test_grouped_binop_group_left_shape(spark):
+    """series_binop_grouped (PromQL group_left): every left sample pairs
+    with the one right sample sharing its `on` labels+ts; the output
+    carries the LEFT's full label set; NULL tags survive."""
+    import datetime
+
+    from fischer_spark.operators.binop import series_binop_grouped
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            ("a", "m", "x", t, 3.0),
+            ("a", "m", None, t, 1.0),   # NULL tag must pair too
+            ("b", "m", "x", t, 5.0),
+        ],
+        "domain string, metric string, tag string, bucket_ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", t, 4.0), ("b", t, 5.0)],
+        "domain string, bucket_ts timestamp, value double",
+    )
+    out = series_binop_grouped(left, right, op="div", on=("domain",))
+    rows = {(r["domain"], r["tag"]): r["value"] for r in out.collect()}
+    assert rows == {("a", "x"): 0.75, ("a", None): 0.25, ("b", "x"): 1.0}
+    assert set(out.columns) == {"domain", "metric", "tag", "bucket_ts", "value"}
+
+
+def test_grouped_binop_strict_raises_on_many_right(spark):
+    """PromQL's cardinality rule: duplicate right rows per (on, ts) must
+    raise in strict mode (execution-time raise_error), not silently
+    fan out; strict=False documents the escape hatch."""
+    import datetime
+
+    import pytest
+
+    from fischer_spark.operators.binop import series_binop_grouped
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", "m", "x", t, 3.0)],
+        "domain string, metric string, tag string, bucket_ts timestamp, value double",
+    )
+    dup_right = spark.createDataFrame(
+        [("a", t, 4.0), ("a", t, 9.0)],
+        "domain string, bucket_ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="group_left"):
+        series_binop_grouped(left, dup_right, on=("domain",)).collect()
+    # non-strict keeps both pairings (caller's explicit choice)
+    n = series_binop_grouped(left, dup_right, on=("domain",), strict=False).count()
+    assert n == 2

@@ -130,3 +130,48 @@ def test_query_range_hist_key_encoded_filters_via_dim(spark, tmp_path, value_poi
     # with query_range — consumers never see internal ids)
     assert "key_id" not in only_a.columns
     assert {r["domain"] for r in only_a.select("domain").distinct().collect()} == {"a"}
+
+
+def test_query_range_hist_by_label_pools_bins(spark, tmp_path, value_points):
+    """query_range_hist(by=()) pools INTEGER bin counts across series
+    before the walk, so the group quantile equals the quantile of the
+    pooled values' histogram computed directly — and a key-encoded tier
+    decodes through key_dim before grouping."""
+    from fischer_spark.api import query_range_hist
+    from fischer_spark.operators.histogram import hist_quantile, hist_states
+    from fischer_spark.operators.series import encode_series_keys
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_df_equal
+
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("hist_1d", hist_states(value_points, "1d", LO, HI, BINS))
+
+    got = query_range_hist(
+        store, None, "2024-01-01", "2024-01-10", 86400, q=0.95,
+        lo=LO, hi=HI, n_bins=BINS, by=(),
+    )
+    direct = hist_quantile(
+        hist_states(value_points, "1d", LO, HI, BINS)
+        .groupBy("bucket_ts", "bin")
+        .agg(F.sum("bin_cnt").alias("bin_cnt"))
+        .withColumn("domain", F.lit(None).cast("string"))
+        .withColumn("metric", F.lit(None).cast("string"))
+        .withColumn("tag", F.lit(None).cast("string")),
+        0.95, LO, HI, BINS,
+    )
+    assert_df_equal(got, direct)
+    # pooled quantile != either per-series quantile in general, and the
+    # pooled n is the full corpus count per day
+    assert got.agg(F.sum("n")).first()[0] == value_points.count()
+
+    # same answer off a key-encoded tier (decode-then-group path)
+    enc, dim = encode_series_keys(value_points)
+    store2 = ParquetManifestStore(spark, str(tmp_path / "w2"))
+    store2.append("hist_1d", hist_states(enc, "1d", LO, HI, BINS))
+    store2.append("key_dim", dim)
+    got_enc = query_range_hist(
+        store2, None, "2024-01-01", "2024-01-10", 86400, q=0.95,
+        lo=LO, hi=HI, n_bins=BINS, by=(),
+    )
+    assert_df_equal(got_enc, direct)

@@ -269,3 +269,31 @@ def test_m4_query_plan_matches_operator_contract(spark):
     assert "Python" not in p
     # exchanges: hourly extents agg + main (domain, px); broadcast is separate
     assert p.count(") Exchange") == 2
+
+
+def test_grouped_binop_single_join_no_cartesian(spark):
+    """share_of_domain_events (O98): exactly one join (the group_left
+    equi-join), never a cartesian/BNL — the strict-mode guard is a
+    window on the small side, not a second join."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["share_of_domain_events"](spark, SF))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    # numbered plan nodes only — the formatted detail section repeats names
+    joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p
+    ))
+    assert joins == 1, p
+
+
+def test_agg_by_label_no_extra_exchange(spark):
+    """agg_by_label_events (O91): the cross-series state merge is ONE
+    extra aggregation on top of the tier build — no window, no join, and
+    every Exchange is a hashpartitioning (no single-partition funnel)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["agg_by_label_events"](spark, SF))
+    assert "Window" not in p and "Join" not in p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 2, p  # tier-state agg + the by-label merge, nothing else
+    assert "SinglePartition" not in p  # no one-partition funnel

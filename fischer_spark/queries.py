@@ -492,49 +492,53 @@ def _load_registry() -> None:
 
 # The external correctness driver checks at most the FIRST 50 registry
 # entries per round while the registry holds >70 (VERDICT r3, finding #1).
-# get_queries() therefore front-loads entries that have never received a
-# driver CORRECTNESS row (or were last witnessed in an old round) so every
-# query is driver-witnessed across consecutive rounds.  Ordering is purely
-# presentational — names, callables, and oracles are unchanged.
-_DRIVER_PRIORITY: list[str] = [
-    # --- never driver-witnessed through r3 (VERDICT r3 "Next round" #1) ---
-    "minhash_band_candidates_8x4",
-    "ann_topk_ivf_embeddings",
-    "dedup_clusters_documents",
-    "stratified_sample_documents",
-    "semantic_dedup_embeddings",
-    "rare_token_ratio_documents",
-    "segment_dedup_documents",
-    "pii_scrub_customer",
-    "ingest_dedup_documents",
-    # --- new in round 4 (no row yet by construction) ---
-    "agg_by_label_events",
-    "archive_roundtrip_hist_1h_events",
-    "ann_topk_ivf_trained_embeddings",
-    "hist_p95_by_label_events",
-    "share_of_domain_events",
-    # --- last witnessed in r2 only (skipped by the r3 window) ---
-    "lang_id_documents",
-    "fingerprint_documents",
-    "contamination_check_documents",
-    "repetition_signals_documents",
-    "minhash_signatures_documents",
-    "minhash_band_candidates",
-    "ngram_jaccard_neighbors",
-    "embedding_near_dups",
-    "minhash_prod_candidates_documents",
-    "simhash64_candidates_documents",
-    "media_features_synth",
-    "embedding_near_dups_lsh",
-    "ann_topk_lsh_embeddings",
-    "cosine_topk_embeddings",
-]
+# get_queries() therefore orders entries LEAST-RECENTLY-DRIVER-WITNESSED
+# first, derived from the committed CORRECTNESS_r*.json artifacts at the
+# repo root: never-witnessed queries (including anything new this round)
+# lead, then queries whose last green row is oldest; ties keep
+# registration order (sorted() is stable).  A row counts as a witness
+# only if it PASSED (or was a rows-only check by design) — a failing row
+# keeps its query at the front so the fix is re-verified next round.
+# Ordering is purely presentational — names, callables, and oracles are
+# unchanged — and self-heals every round as new artifacts land.
+
+
+def _witness_rounds() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok_err = row.get("err") in (None, "no_oracle")
+            passed = (
+                ok_err
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if passed:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
-    head.update((k, v) for k, v in d.items() if k not in head)
-    return head
+    last = _witness_rounds()
+    return {n: d[n] for n in sorted(d, key=lambda n: last.get(n, -1))}
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

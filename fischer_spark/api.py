@@ -496,6 +496,46 @@ def _restore_labels(df, group_labels: list[str]):
     return df
 
 
+def vector_quantile(
+    df,
+    q: float,
+    by: tuple[str, ...] = (),
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+):
+    """PromQL ``quantile(q, v) by (labels)``: the EXACT q-quantile ACROSS
+    SERIES per time bucket (one value per series enters each group —
+    distinct from quantile_over_time along a series, and from the
+    histogram tiers' pooled-raw-value quantiles).  Rank-based linear
+    interpolation with the arithmetic spelled explicitly (the repo's
+    hash-safe convention — built-in percentile aggregates interpolate
+    with engine-specific expression shapes).
+
+    Scale shape: one Exchange on (kept labels, bucket) shared by the
+    rank/count windows and the final conditional aggregation — the O60
+    plan, keyed on the aggregation labels.  Output: (domain, metric,
+    tag, ts, n, value) with dropped labels NULL, like the other vector
+    aggregations."""
+    keys = _vector_agg_labels(tuple(by), None) + [ts_col]
+    pw = Window.partitionBy(*keys)
+    r = df.select(
+        *keys, F.col(val_col).alias("_v"),
+        F.row_number().over(pw.orderBy(val_col)).alias("_rn"),
+        F.count(F.lit(1)).over(pw).alias("_cnt"),
+    )
+    k = (F.col("_cnt") - 1).cast("double") * F.lit(q)
+    lo = F.max(F.when(F.col("_rn") == F.floor(k).cast("long") + 1, F.col("_v")))
+    hi = F.max(F.when(F.col("_rn") == F.ceil(k).cast("long") + 1, F.col("_v")))
+    kk = (F.max("_cnt") - 1).cast("double") * F.lit(q)
+    out = r.groupBy(*keys).agg(
+        F.max("_cnt").cast("long").alias("n"),
+        (lo + (hi - lo) * (kk - F.floor(kk))).alias("value"),
+    )
+    return _restore_labels(out, keys).select(
+        "domain", "metric", "tag", ts_col, "n", "value"
+    )
+
+
 def _range_stat_select(derived, stat: str, impl: str, fn, fn_args):
     """Shared query_range tail: pick the requested stat off the derived
     state columns, compose fn, order for presentation."""

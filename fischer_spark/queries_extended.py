@@ -1409,6 +1409,54 @@ def archive_roundtrip_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_across_series_events",
+    """
+  WITH pts AS (
+    SELECT event_type AS domain,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+           date_trunc('hour', ts) AS bucket_ts, CAST(count(*) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2, 3
+  ),
+  r AS (
+    SELECT bucket_ts, v,
+           row_number() OVER (PARTITION BY bucket_ts ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY bucket_ts) AS cnt
+    FROM pts
+  )
+  SELECT bucket_ts, CAST(max(cnt) AS BIGINT) AS n,
+         max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN v END)
+         + (max(CASE WHEN rn = CAST(ceil(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN v END)
+            - max(CASE WHEN rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 THEN v END))
+           * (CAST(max(cnt) - 1 AS DOUBLE) * 0.95
+              - floor(CAST(max(cnt) - 1 AS DOUBLE) * 0.95)) AS value
+  FROM r GROUP BY 1
+""",
+)
+def quantile_across_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile(0.95, rate) by ()`` (api.vector_quantile): the
+    exact p95 ACROSS the 10 (event_type, parity) hourly-rate series per
+    bucket — the remaining member of PromQL's vector-aggregation family
+    (sum/avg/min/max/count/stddev compose via by=-state-merge; topk via
+    O84; this is quantile).  Rank interpolation spelled identically in
+    both engines (the O60 convention), one Exchange on the bucket shared
+    by windows and the final aggregation."""
+    from fischer_spark.api import vector_quantile
+    from fischer_spark.sources.testdata import scan_testdata
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            F.col("event_type").alias("domain"),
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("tag"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("event_rate"))
+    )
+    return vector_quantile(series, 0.95, by=()).select("bucket_ts", "n", "value")
+
+
+@register(
     "hist_p95_by_label_events",
     f"""
   WITH pts AS (

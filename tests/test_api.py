@@ -648,3 +648,27 @@ def test_query_range_by_label_equals_rekeyed_rollup(spark, tmp_path):
         query_range(store, None, start, end, 3600, by=("domain",), without=("tag",))
     with pytest.raises(ValueError, match="unknown aggregation label"):
         query_range(store, None, start, end, 3600, by=("instance",))
+
+
+def test_vector_quantile_by_label(spark):
+    """api.vector_quantile: exact rank-interpolated quantile across
+    series per bucket, grouped by kept labels; dropped labels NULL."""
+    import datetime
+
+    from fischer_spark.api import vector_quantile
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", "m", tag, t, v)
+        for tag, v in [("w", 1.0), ("x", 2.0), ("y", 3.0), ("z", 10.0)]
+    ] + [("b", "m", tag, t, v) for tag, v in [("w", 5.0), ("x", 7.0)]]
+    df = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    got = {r["domain"]: (r["n"], r["value"])
+           for r in vector_quantile(df, 0.5, by=("domain",)).collect()}
+    # a: sorted [1,2,3,10], p50 = 2 + (3-2)*0.5 = 2.5; b: [5,7] -> 6.0
+    assert got == {"a": (4, 2.5), "b": (2, 6.0)}
+    allq = vector_quantile(df, 0.5, by=()).collect()
+    assert len(allq) == 1 and allq[0]["n"] == 6
+    assert allq[0]["domain"] is None and allq[0]["tag"] is None

@@ -20,10 +20,11 @@ Chain (SURVEY §2.7b/c/d; every step an existing gated operator):
      components (O(log n) rounds, id-only shuffles).
   4. verdicts — every doc labeled (cluster_id, keep); min-id survivor.
 
-Committed tables (snapshot store, same manifest semantics as the tiers):
-  dedup_edges     (id_a, id_b, reason)        — the evidence
-  dedup_verdicts  (<id>, cluster_id, keep)    — the per-doc outcome
-  dedup_stats     (1 row: docs, clusters, survivors, dup_docs)
+Committed tables (snapshot store, same manifest semantics as the tiers;
+every row stamped with the producing run_id):
+  dedup_edges     (id_a, id_b, reason, run_id)          — the evidence
+  dedup_verdicts  (<id>, cluster_id, keep, run_id)      — per-doc outcome
+  dedup_stats     (1 row: docs, clusters, survivors, dup_docs, run_id)
 
 Re-running with the same warehouse OVERWRITES all three (full-range
 overwrite commits — the job is idempotent per corpus snapshot).

@@ -672,3 +672,37 @@ def test_vector_quantile_by_label(spark):
     allq = vector_quantile(df, 0.5, by=()).collect()
     assert len(allq) == 1 and allq[0]["n"] == 6
     assert allq[0]["domain"] is None and allq[0]["tag"] is None
+
+
+def test_query_range_by_label_composes_with_fn(spark, tmp_path):
+    """by= output is a normal series set: fn transforms (delta) apply per
+    aggregated series, equal to the fn over a rollup keyed on the kept
+    label alone."""
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    pages = synth_pages(spark, 2500, seed=17).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    points = build_series(pages)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(points, "1h"))
+    start, end = "1900-01-01 00:00:00", "9999-01-01 00:00:00"
+
+    got = query_range(
+        store, None, start, end, 3600, stat="sum", by=("domain",), fn="delta"
+    )
+    rekeyed = points.select(
+        "domain", F.lit(None).cast("string").alias("metric"),
+        F.lit(None).cast("string").alias("tag"), "bucket_ts", "value",
+    )
+    store2 = ParquetManifestStore(spark, str(tmp_path / "w2"))
+    store2.append("rollup_1h", rollup_points(rekeyed, "1h"))
+    want = query_range(store2, None, start, end, 3600, stat="sum", fn="delta")
+    assert_df_equal(got, want, tol=0)

@@ -297,3 +297,16 @@ def test_agg_by_label_no_extra_exchange(spark):
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex == 2, p  # tier-state agg + the by-label merge, nothing else
     assert "SinglePartition" not in p  # no one-partition funnel
+
+
+def test_vector_quantile_shares_one_exchange_after_series_agg(spark):
+    """quantile_across_series_events (O100): beyond the hourly-rate
+    aggregation's Exchange, the rank/count windows and the final
+    conditional aggregation share ONE further Exchange + ONE Sort on the
+    (labels, bucket) key — the O60 shape lifted to cross-series."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["quantile_across_series_events"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # series agg + quantile key
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+    assert "Join" not in p and "SinglePartition" not in p

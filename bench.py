@@ -105,6 +105,9 @@ def main() -> None:
         "agg_by_label_events",
         "archive_roundtrip_hist_1h_events",
         "ann_topk_ivf_trained_embeddings",
+        "hist_p95_by_label_events",
+        "share_of_domain_events",
+        "quantile_across_series_events",
     ]
     timings: dict[str, float] = {}
 

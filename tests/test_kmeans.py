@@ -125,3 +125,98 @@ def test_semantic_dedup_max_cluster_guard(spark):
     out = semantic_dedup(spark, df.select("vec_id", "embedding"), k=3,
                          tau=0.5, n_iter=2, seed=4, max_cluster=1).collect()
     assert all(r["keep"] for r in out)
+
+
+def test_cluster_pair_edges_matches_bruteforce(spark):
+    """The grouped-matmul pairing kernel emits exactly the over-tau
+    (id_a < id_b) cosine pairs a brute-force numpy loop finds — across
+    multiple clusters, multiple partitions, and blocking seams."""
+    from fischer_spark.operators.kmeans import cluster_pair_edges
+
+    rng = np.random.default_rng(11)
+    dim, tau = 8, 0.9
+    rows = []
+    for c in range(3):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        for i in range(25):
+            v = center + 0.22 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((c, c * 1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "cluster: int, vec_id: long, embedding: array<float>"
+    ).repartition(7)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cluster_pair_edges(df, tau=tau).collect()
+    }
+    want = set()
+    for c in range(3):
+        sub = sorted((r for r in rows if r[0] == c), key=lambda r: r[1])
+        m = np.array([r[2] for r in sub], dtype="float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        g = m @ m.T
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                if g[i, j] >= tau:
+                    want.add((sub[i][1], sub[j][1]))
+    assert got == want and len(want) > 20
+
+
+def test_cluster_pair_edges_blocking_seam(spark):
+    """Pairs that straddle a _PAIR_BLOCK boundary are found (patch the
+    block size down to force multiple blocks on a small cluster)."""
+    import fischer_spark.operators.kmeans as km
+
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(10):  # 10 near-identical vectors -> all 45 pairs over tau
+        v = base + 1e-3 * rng.standard_normal(8)
+        v /= np.linalg.norm(v)
+        rows.append((0, i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "cluster: int, vec_id: long, embedding: array<float>"
+    )
+    old = km._PAIR_BLOCK
+    km._PAIR_BLOCK = 3  # forces 4 blocks over 10 rows
+    try:
+        got = km.cluster_pair_edges(df, tau=0.99).collect()
+    finally:
+        km._PAIR_BLOCK = old
+    assert len(got) == 45
+    assert all(r["id_a"] < r["id_b"] for r in got)
+
+
+def test_cluster_pair_edges_plan_no_vector_exchange_beyond_group(spark):
+    """Scale tripwire (VERDICT r4 What's-wrong #1): the pairing plan has
+    exactly ONE vector-carrying Exchange — the grouped shuffle into
+    FlatMapGroupsInPandas — and its partitioning key is the cluster, so
+    each vector crosses the wire once.  No per-pair vector join exists
+    (no SortMergeJoin/BroadcastHashJoin at all in the kernel plan)."""
+    import contextlib
+    import io
+    import re
+
+    from fischer_spark.operators.kmeans import cluster_pair_edges
+
+    from pyspark.sql import functions as F
+
+    df = _blob_df(spark).withColumn("cluster", F.col("blob"))
+    edges = cluster_pair_edges(df.select("cluster", "vec_id", "embedding"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
+    # node blocks: an Exchange carrying the vector must be the single
+    # cluster-keyed grouped shuffle
+    vec_exchanges = []
+    for block in re.split(r"\n\(\d+\) ", p):
+        head = block.split("\n", 1)[0]
+        if head.startswith("Exchange") and "embedding" in block:
+            vec_exchanges.append(block)
+    assert len(vec_exchanges) == 1, p
+    assert "hashpartitioning(cluster" in vec_exchanges[0], vec_exchanges[0]
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

@@ -516,7 +516,16 @@ def vector_quantile(
     plan, keyed on the aggregation labels.  Output: (domain, metric,
     tag, ts, n, value) with dropped labels NULL, like the other vector
     aggregations."""
+    if by is None or isinstance(by, str):
+        raise TypeError(
+            "by must be an iterable of label names, e.g. by=('domain',) "
+            f"— got {by!r}"
+        )
     keys = _vector_agg_labels(tuple(by), None) + [ts_col]
+    # NULL samples would otherwise land at rank 1 (Spark orders NULLS
+    # FIRST) and skew or NULL the interpolated quantile; drop them like
+    # hist_states does (ADVICE r4) — n counts non-NULL samples only.
+    df = df.filter(F.col(val_col).isNotNull())
     pw = Window.partitionBy(*keys)
     r = df.select(
         *keys, F.col(val_col).alias("_v"),
@@ -646,6 +655,22 @@ def record_rule(
             *[stat_side[k] for k in keys],
             stat_side["bucket_ts"], "stat_value", scored["value"],
         )
+    if hasattr(store, "set_meta"):
+        # persist the rule's definition as table properties so a later
+        # tier refresh can rebuild the rule without the caller re-typing
+        # the spec (ADVICE r3: --refresh left rule_* tables silently
+        # stale; jobs/rollup_job.py replays these specs with full=True).
+        # Persisted BEFORE the empty-output early return (ADVICE r4): a
+        # rule recorded before its data arrives must still be visible to
+        # the refresh rebuild loop from its first record_rule call.
+        store.set_meta(
+            table,
+            rule_spec={
+                "rule": rule, "metric": metric, "step_s": step_s,
+                "fn": fn, "fn_args": fn_args, "stat": stat,
+                "end": end, "sel": sel,
+            },
+        )
     if full and store.current_snapshot(table) is not None:
         snap = store.overwrite_range(
             table, out, "bucket_ts",
@@ -655,19 +680,6 @@ def record_rule(
         return None
     else:
         snap = store.append(table, out)
-    if hasattr(store, "set_meta"):
-        # persist the rule's definition as table properties so a later
-        # tier refresh can rebuild the rule without the caller re-typing
-        # the spec (ADVICE r3: --refresh left rule_* tables silently
-        # stale; jobs/rollup_job.py replays these specs with full=True)
-        store.set_meta(
-            table,
-            rule_spec={
-                "rule": rule, "metric": metric, "step_s": step_s,
-                "fn": fn, "fn_args": fn_args, "stat": stat,
-                "end": end, "sel": sel,
-            },
-        )
     return snap
 
 

@@ -265,8 +265,11 @@ def archive_tier(
     duplicator, the archive side is an overwrite-merge, not a blind
     append: existing archive chunks whose range overlaps the new cold
     rows are decoded, merged with the cold rows, deduped on
-    (key, bucket_ts) — duplicate rows are bit-identical states from the
-    same tier commit — re-encoded, and committed via
+    (key, bucket_ts) with DETERMINISTIC precedence — on collision the
+    live cold row wins over the decoded archive row, so a bucket
+    refreshed by late data below a prior cutoff archives its REFRESHED
+    state, never the stale archived one (ADVICE r4) — re-encoded, and
+    committed via
     ``overwrite_range(t_end >= lo)``, which atomically replaces exactly
     the overlapping chunks.  Chunks strictly before the new cold range
     are never decoded or rewritten, so steady-state periodic archiving
@@ -303,7 +306,24 @@ def archive_tier(
         keys = _key_cols(live) + ["tier", "bucket_ts"]
         if "bin" in live.columns:  # long-form hist: (key, bucket, bin) is the row id
             keys.append("bin")
-        to_encode = prev_rows.unionByName(cold).dropDuplicates(keys)
+        # Deterministic precedence on key collision (ADVICE r4, medium):
+        # the LIVE cold row must beat the decoded archive row.  On a pure
+        # crash re-run the two are bit-identical and either choice is
+        # fine, but when late data was merged into a bucket BELOW a prior
+        # archive cutoff (rollup_job's overwrite_range repair path), the
+        # live tier holds the refreshed state and the archive holds the
+        # stale one — dropDuplicates would keep an arbitrary winner.
+        from pyspark.sql import Window as _W
+
+        tagged = prev_rows.withColumn("_prio", F.lit(0)).unionByName(
+            cold.withColumn("_prio", F.lit(1))
+        )
+        w = _W.partitionBy(*keys).orderBy(F.desc("_prio"))
+        to_encode = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+        )
     snaps[archive_table] = store.overwrite_range(
         archive_table,
         encode_state_chunks(to_encode, chunk_window),

@@ -501,9 +501,33 @@ def _load_registry() -> None:
 # keeps its query at the front so the fix is re-verified next round.
 # Ordering is purely presentational — names, callables, and oracles are
 # unchanged — and self-heals every round as new artifacts land.
+#
+# REGRESSION-LATENCY TRADEOFF (ADVICE r4): pure least-recently-witnessed
+# rotation pushes every just-witnessed query past position 50, so a
+# regression in a recently-green query would go driver-unseen for at
+# least one full cycle of the registry.  To bound that latency, the last
+# _RESAMPLE_SLOTS positions of the driver window are RESERVED for a
+# deterministic rotating sample of the most-recently-witnessed tail:
+# each round a different contiguous (mod-len) slice of the tail re-runs
+# under the driver, so recently-green queries are re-witnessed every
+# ~ceil(tail/_RESAMPLE_SLOTS) rounds instead of a full registry cycle.
+# The artifact scan is cached per process (the files only change between
+# driver rounds, and a round is a fresh process).
+
+_DRIVER_WINDOW = 50
+_RESAMPLE_SLOTS = 8
+_WITNESS_CACHE: dict[str, int] | None = None
 
 
 def _witness_rounds() -> dict[str, int]:
+    global _WITNESS_CACHE
+    if _WITNESS_CACHE is not None:
+        return _WITNESS_CACHE
+    _WITNESS_CACHE = _scan_witness_artifacts()
+    return _WITNESS_CACHE
+
+
+def _scan_witness_artifacts() -> dict[str, int]:
     import glob
     import json
     import os
@@ -536,9 +560,29 @@ def _witness_rounds() -> dict[str, int]:
     return last
 
 
-def _ordered(d: dict) -> dict:
+def _serve_order(names) -> list[str]:
     last = _witness_rounds()
-    return {n: d[n] for n in sorted(d, key=lambda n: last.get(n, -1))}
+    base = sorted(names, key=lambda n: last.get(n, -1))
+    head_n = _DRIVER_WINDOW - _RESAMPLE_SLOTS
+    tail = base[head_n:]
+    if not last or len(base) <= _DRIVER_WINDOW or not tail:
+        return base
+    # rotating re-witness sample: the upcoming round is max(last)+1; walk
+    # a contiguous slice of the tail starting at a round-dependent offset
+    # so consecutive rounds cover disjoint (mod-len) slices of it
+    nxt = max(last.values()) + 1
+    k = min(_RESAMPLE_SLOTS, len(tail))
+    off = (nxt * k) % len(tail)
+    picked = [tail[(off + i) % len(tail)] for i in range(k)]
+    picked_set = set(picked)
+    return base[:head_n] + picked + [n for n in tail if n not in picked_set]
+
+
+def _ordered(d: dict) -> dict:
+    # one serve order, derived from the FULL query registry, applied to
+    # both dicts — oracles must iterate in the same order as queries
+    order = _serve_order(QUERIES)
+    return {n: d[n] for n in order if n in d}
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -73,8 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input).select(idc, txt)
 
     # -- 1. exact edges: (doc, group-min) per md5 group; text never
-    #    shuffles — only (id, 16-byte digest) rows cross the wire
-    hashed = docs.select(idc, F.md5(F.col(txt)).alias("_h"))
+    #    shuffles — only (id, 16-byte digest) rows cross the wire.
+    #    NULL text is excluded BEFORE hashing (ADVICE r4): md5(NULL) is
+    #    NULL and groupBy treats NULL as one group, which would collapse
+    #    every content-less doc into a single bogus "exact" cluster.
+    #    Content-less docs carry no dedup evidence — they are all kept.
+    nn_docs = docs.where(F.col(txt).isNotNull())
+    hashed = nn_docs.select(idc, F.md5(F.col(txt)).alias("_h"))
     roots = hashed.groupBy("_h").agg(F.min(idc).alias("_root"))
     exact_edges = (
         hashed.join(roots, "_h")
@@ -88,12 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     edges = exact_edges
     if not args.no_fuzzy:
         # -- 2. fuzzy edges: band candidates, then the signature-agreement
-        #    verify — signatures join back once onto deduplicated pairs
+        #    verify — signatures join back once onto deduplicated pairs.
+        #    Same NULL-text exclusion as the exact stage: a content-less
+        #    doc has no tokens, hence no signature evidence to pair on.
         cand = minhash_candidates(
-            docs, id_col=idc, text_col=txt,
+            nn_docs, id_col=idc, text_col=txt,
             n_hashes=args.n_hashes, n_bands=args.n_bands,
         ).select("id_a", "id_b")
-        sig = minhash_signatures(docs, idc, txt, args.n_hashes)
+        sig = minhash_signatures(nn_docs, idc, txt, args.n_hashes)
         sa = sig.select(F.col(idc).alias("id_a"), F.col("sig").alias("_sa"))
         sb = sig.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
         agree = F.aggregate(

@@ -249,9 +249,15 @@ def main(argv: list[str] | None = None) -> int:
 
         from fischer_spark.api import record_rule
 
+        # include spec-only tables (manifest with rule_spec but no
+        # snapshot yet): a rule recorded before its data arrived persists
+        # its spec from the first record_rule call (ADVICE r4), and this
+        # rebuild gives it its first materialization once data exists
         rule_tables = sorted(
             d for d in (_os.listdir(args.warehouse) if _os.path.isdir(args.warehouse) else [])
-            if d.startswith("rule_") and store.current_snapshot(d) is not None
+            if d.startswith("rule_")
+            and (store.current_snapshot(d) is not None
+                 or store.meta(d).get("rule_spec") is not None)
         )
         for t in rule_tables:
             spec = store.meta(t).get("rule_spec")

@@ -588,6 +588,52 @@ def test_record_rule_incremental_equals_full(spark, tmp_path):
     assert_df_equal(store.read("rule_ew").drop("stat_value"), want_ew, tol=0)
 
 
+def test_record_rule_persists_spec_before_data(spark, tmp_path):
+    """A rule recorded BEFORE its metric has any data returns None but
+    must still persist its rule_spec (ADVICE r4), so rollup_job
+    --refresh's rebuild loop can materialize it once data arrives."""
+    from fischer_spark.api import query_range, record_rule
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.operators.series import build_series
+    from fischer_spark.sources.pages import synth_pages
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    from tests.conftest import assert_df_equal
+
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    # empty tier table exists, but the metric yields zero buckets
+    pages = synth_pages(spark, 500, seed=23).selectExpr(
+        "parse_url(url, 'HOST') AS domain", "warc_ts",
+        "octet_length(html) AS page_bytes", "lang",
+    )
+    states = rollup_points(build_series(pages), "1h")
+    store.append("rollup_1h", states.limit(0))
+
+    assert record_rule(store, "early", "crawl_rate", 3600) is None
+    spec = store.meta("rule_early").get("rule_spec")
+    assert spec is not None and spec["metric"] == "crawl_rate"
+    assert store.current_snapshot("rule_early") is None
+
+    # data arrives; replaying the persisted spec (what --refresh does)
+    # gives the rule its first materialization
+    store.overwrite_range(
+        "rollup_1h", states, "bucket_ts",
+        "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+    )
+    snap = record_rule(
+        store, spec["rule"], spec["metric"], spec["step_s"],
+        fn=spec.get("fn"), fn_args=spec.get("fn_args"),
+        stat=spec.get("stat", "mean"), end=spec.get("end"),
+        full=True, **(spec.get("sel") or {}),
+    )
+    assert snap is not None
+    want = query_range(
+        store, "crawl_rate", "1900-01-01 00:00:00",
+        "9999-01-01 00:00:00", 3600,
+    )
+    assert_df_equal(store.read("rule_early").drop("stat_value"), want, tol=0)
+
+
 def test_query_range_by_label_equals_rekeyed_rollup(spark, tmp_path):
     """PromQL vector aggregation (query_range by=/without=): sum/mean
     `by (domain)` across every series must equal a rollup KEYED ON
@@ -672,6 +718,22 @@ def test_vector_quantile_by_label(spark):
     allq = vector_quantile(df, 0.5, by=()).collect()
     assert len(allq) == 1 and allq[0]["n"] == 6
     assert allq[0]["domain"] is None and allq[0]["tag"] is None
+
+    # NULL samples are dropped, not ranked first (ADVICE r4): a NULL in
+    # group "a" must leave the quantile and n unchanged
+    import pytest
+
+    df_null = df.union(spark.createDataFrame(
+        [("a", "m", "q", t, None)], df.schema
+    ))
+    got_n = {r["domain"]: (r["n"], r["value"])
+             for r in vector_quantile(df_null, 0.5, by=("domain",)).collect()}
+    assert got_n == {"a": (4, 2.5), "b": (2, 6.0)}
+    # and by misuse fails with a clear message, not tuple(None)
+    with pytest.raises(TypeError, match="iterable of label names"):
+        vector_quantile(df, 0.5, by=None)
+    with pytest.raises(TypeError, match="iterable of label names"):
+        vector_quantile(df, 0.5, by="domain")
 
 
 def test_query_range_by_label_composes_with_fn(spark, tmp_path):

@@ -310,3 +310,40 @@ def test_query_range_include_archive(spark, tmp_path):
     # without include_archive the cold half is (correctly) absent
     hot_only = query_range(store_cold, "crawl_rate", start, end, 7200)
     assert hot_only.count() < want.count()
+
+
+def test_archive_repair_prefers_refreshed_live_state(spark, tmp_path):
+    """Late data merged into a bucket BELOW a prior archive cutoff
+    (rollup_job's overwrite_range repair path) makes the live tier and
+    the archive disagree for that (key, bucket).  The repair merge must
+    deterministically keep the REFRESHED live state, never the stale
+    archived one (ADVICE r4, medium)."""
+    states = _tier(spark, "fixed64", n=3000, seed=59)
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", states)
+    lo, hi = states.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    cut = lo + (hi - lo) / 2
+    archive_tier(store, "1h", str(cut), chunk_window="1w")
+
+    # late-data refresh: bump cnt on every already-archived bucket and
+    # reinsert those rows into the LIVE tier (what a tier refresh does)
+    refreshed = states.filter(F.col("bucket_ts") < F.lit(str(cut))).withColumn(
+        "cnt", F.col("cnt") + F.lit(1000000)
+    )
+    live_now = store.read("rollup_1h").unionByName(refreshed)
+    store.overwrite_range(
+        "rollup_1h", live_now, "bucket_ts",
+        "1900-01-01 00:00:00", "9999-01-01 00:00:00",
+    )
+
+    archive_tier(store, "1h", str(cut), chunk_window="1w")  # repair run
+    merged = read_tier_with_archive(store, "1h")
+    expect = states.filter(F.col("bucket_ts") >= F.lit(str(cut))).unionByName(
+        refreshed
+    )
+    assert_df_equal(merged, expect, tol=0)
+    # every archived cold row carries the refreshed cnt, not the stale one
+    stale = merged.filter(
+        (F.col("bucket_ts") < F.lit(str(cut))) & (F.col("cnt") < 1000000)
+    ).count()
+    assert stale == 0

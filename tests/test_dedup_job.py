@@ -79,3 +79,25 @@ def test_dedup_job_exact_only(spark, tmp_path):
     p = _run(["--input", src, "--warehouse", wh, "--run-id", "x", "--no-fuzzy"])
     assert p.returncode == 0, p.stderr[-3000:]
     assert "docs=4 clusters=3 survivors=3 dup_docs=1" in p.stdout, p.stdout
+
+
+def test_dedup_job_null_text_docs_are_never_deduped(spark, tmp_path):
+    """NULL-text docs must NOT collapse into one "exact" cluster
+    (ADVICE r4: md5(NULL) is NULL and groupBy keeps NULL as one group).
+    Each content-less doc stays its own kept singleton; real dups still
+    dedupe."""
+    rows = [(1, _BASE), (2, _BASE), (3, None), (4, None), (5, None)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    wh = str(tmp_path / "wh")
+    p = _run(["--input", src, "--warehouse", wh, "--run-id", "n1"])
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "docs=5 clusters=4 survivors=4 dup_docs=1" in p.stdout, p.stdout
+
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    store = ParquetManifestStore(spark, wh)
+    v = {r["doc_id"]: (r["cluster_id"], r["keep"])
+         for r in store.read("dedup_verdicts").collect()}
+    assert v[1] == (1, 1) and v[2] == (1, 0)
+    assert all(v[d] == (d, 1) for d in (3, 4, 5))

@@ -93,6 +93,7 @@ def series_binop_grouped(
     ts_col: str = "bucket_ts",
     val_col: str = "value",
     strict: bool = True,
+    group: str = "left",
 ) -> DataFrame:
     """PromQL MANY-TO-ONE vector matching (``a / on(labels) group_left b``):
     every left sample pairs with the single right sample sharing its
@@ -100,6 +101,15 @@ def series_binop_grouped(
     (``rate / on(domain) group_left sum by (domain)(rate)`` = each
     series' share of its domain total).  The result carries the LEFT's
     full label set (``carry``), per group_left semantics.
+
+    ``group="right"`` is the mirrored ONE-TO-MANY form
+    (``a / on(labels) group_right b``): the LEFT side is the aggregate
+    ("one" per match group, strictness enforced on it), every RIGHT
+    sample pairs with it, and the result carries the RIGHT's label set
+    (``carry`` then names right-side columns).  Operand order is NOT
+    swapped — the op still computes left <op> right, exactly like
+    PromQL, where group_left/group_right only choose which side may be
+    many and whose labels survive.
 
     ``strict=True`` enforces PromQL's cardinality rule AT EXECUTION:
     duplicate right rows per (on, ts) raise (``raise_error`` over a
@@ -113,6 +123,8 @@ def series_binop_grouped(
     (on labels, ts); NULL labels pair via the sentinel shadow keys;
     division by zero yields NULL (same documented deviation as
     series_binop)."""
+    if group not in ("left", "right"):
+        raise ValueError(f"unknown group side {group!r}; 'left' or 'right'")
     missing = set(on) - set(carry)
     if missing:
         raise ValueError(f"on labels {sorted(missing)} missing from carry")
@@ -128,25 +140,28 @@ def series_binop_grouped(
             )
         ]
 
-    l = left.select(*carry, F.col(ts_col), *shadow_cols(left),
-                    F.col(val_col).alias("_va"))
-    r = right.select(*shadow_cols(right), F.col(val_col).alias("_vb"))
+    many, one = (left, right) if group == "left" else (right, left)
+    many_val, one_val = ("_va", "_vb") if group == "left" else ("_vb", "_va")
+    m = many.select(*carry, F.col(ts_col), *shadow_cols(many),
+                    F.col(val_col).alias(many_val))
+    o = one.select(*shadow_cols(one), F.col(val_col).alias(one_val))
     if strict:
         from pyspark.sql import Window
 
         n = F.count(F.lit(1)).over(Window.partitionBy(*jk))
-        r = r.withColumn(
-            "_vb",
+        o = o.withColumn(
+            one_val,
             F.when(
                 n > 1,
                 F.raise_error(F.lit(
-                    "series_binop_grouped: many right samples share one "
-                    "(on, ts) key — group_left requires the right side "
-                    "unique per match group (aggregate it with by= first)"
+                    "series_binop_grouped: many samples share one (on, ts) "
+                    f"key on the '{'right' if group == 'left' else 'left'}' "
+                    f"side — group_{group} requires that side unique per "
+                    "match group (aggregate it with by= first)"
                 )).cast("double"),
-            ).otherwise(F.col("_vb")),
+            ).otherwise(F.col(one_val)),
         )
-    j = l.join(r, jk, "inner")
+    j = m.join(o, jk, "inner")
     return j.select(
         *carry, ts_col, _op_expr(op, F.col("_va"), F.col("_vb")).alias("value")
     )

@@ -112,3 +112,45 @@ def gauge_delta(
     """Plain signed per-sample difference (gauges; no reset semantics)."""
     prev = F.lag(val_col).over(_w(key_cols, order_cols))
     return df.withColumn(out_col, F.col(val_col) - prev)
+
+
+def instant_transforms(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """PromQL ``irate()`` / ``idelta()`` per-sample numerators: the
+    instant rate/delta between each sample and its series predecessor —
+    wherever that predecessor falls, exactly like PromQL's "last two
+    samples in the range" (the range covers earlier buckets too).
+    Adds ``irate`` (reset-aware increase / elapsed seconds, NULL on a
+    series' first sample or a non-increasing timestamp) and ``idelta``
+    (plain signed difference, gauge semantics).
+
+    Elapsed time is microsecond-exact integer arithmetic with ONE double
+    division at the end — the repo's hash-safe float convention.  A
+    bucketed read (the ``irate_events`` registry query) keeps each
+    (series, bucket)'s LAST sample: PromQL's instant evaluation at the
+    bucket boundary.
+
+    Scale shape: one window = one hash Exchange on the series key + an
+    in-partition sort — identical to counter_rate above; the bucketed
+    keep-last is a second window on a strict refinement of the same key,
+    so AQE reuses the Exchange lineage."""
+    from fischer_spark.functions.time import is_ntz
+
+    w = _w(key_cols, order_cols)
+    c = F.col(ts_col).cast("timestamp") if is_ntz(df, ts_col) else F.col(ts_col)
+    us = F.unix_micros(c)
+    prev_v = F.lag(val_col).over(w)
+    dt_us = us - F.lag(us).over(w)
+    inc = F.when(F.col(val_col) >= prev_v, F.col(val_col) - prev_v).otherwise(
+        F.col(val_col)  # reset: counter restarted from 0
+    )
+    dt_s = dt_us.cast("double") / F.lit(1000000.0)
+    return df.withColumn(
+        "irate",
+        F.when(prev_v.isNotNull() & (dt_us > 0), inc / dt_s),
+    ).withColumn("idelta", F.col(val_col) - prev_v)

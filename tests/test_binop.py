@@ -179,3 +179,47 @@ def test_grouped_binop_strict_raises_on_many_right(spark):
     # non-strict keeps both pairings (caller's explicit choice)
     n = series_binop_grouped(left, dup_right, on=("domain",), strict=False).count()
     assert n == 2
+
+
+def test_grouped_binop_group_right_mirrors(spark):
+    """group="right" (PromQL group_right): the many side is the RIGHT,
+    output carries the right's labels, operand order is preserved
+    (value = left <op> right), and strictness guards the LEFT side."""
+    import datetime
+
+    import pytest
+
+    from fischer_spark.operators.binop import series_binop_grouped
+
+    t = datetime.datetime(2024, 1, 1)
+    many = spark.createDataFrame(
+        [
+            ("a", "m", "x", t, 3.0),
+            ("a", "m", None, t, 1.0),
+            ("b", "m", "x", t, 5.0),
+        ],
+        "domain string, metric string, tag string, bucket_ts timestamp, value double",
+    )
+    one = spark.createDataFrame(
+        [("a", t, 4.0), ("b", t, 5.0)],
+        "domain string, bucket_ts timestamp, value double",
+    )
+    out = series_binop_grouped(
+        one, many, op="div", on=("domain",), group="right"
+    )
+    rows = {(r["domain"], r["tag"]): r["value"] for r in out.collect()}
+    # value = LEFT/RIGHT = aggregate/series (inverse of the group_left test)
+    assert rows == {("a", "x"): 4.0 / 3.0, ("a", None): 4.0, ("b", "x"): 1.0}
+    assert set(out.columns) == {"domain", "metric", "tag", "bucket_ts", "value"}
+
+    # cardinality raise now fires on a duplicated LEFT ("one") side
+    dup_one = spark.createDataFrame(
+        [("a", t, 4.0), ("a", t, 9.0)],
+        "domain string, bucket_ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="group_right"):
+        series_binop_grouped(
+            dup_one, many, on=("domain",), group="right"
+        ).collect()
+    with pytest.raises(ValueError, match="unknown group side"):
+        series_binop_grouped(one, many, on=("domain",), group="outer")

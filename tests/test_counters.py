@@ -55,3 +55,33 @@ def test_gauge_delta_signed(spark):
     out = gauge_delta(_fixture(spark), ["k"], ["ts", "value"]).collect()
     a = sorted(_by_key(out, "a"), key=lambda r: r["ts"])
     assert a[2]["delta"] == -17.0  # gauges keep the sign
+
+
+def test_instant_transforms_irate_idelta(spark):
+    """instant_transforms (PromQL irate/idelta numerators): reset-aware
+    instant rate vs plain delta between adjacent samples; NULL on each
+    series' first sample; microsecond-exact elapsed time."""
+    import datetime
+
+    from fischer_spark.operators.counters import instant_transforms
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            ("a", at(0), 1, 10.0),
+            ("a", at(2), 2, 16.0),    # +6 over 2s -> irate 3.0, idelta 6.0
+            ("a", at(2.5), 3, 4.0),   # reset: irate 4/0.5=8.0, idelta -12.0
+            ("b", at(0), 4, 7.0),     # lone first sample -> NULLs
+        ],
+        "k string, ts timestamp, event_id long, value double",
+    )
+    out = {r["event_id"]: (r["irate"], r["idelta"])
+           for r in instant_transforms(df, ["k"], ["ts", "event_id"]).collect()}
+    assert out[1] == (None, None)
+    assert out[2] == (3.0, 6.0)
+    assert out[3] == (8.0, -12.0)
+    assert out[4] == (None, None)

@@ -71,7 +71,13 @@ class Series:
         pts = with_derived_stats(states).select(
             "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
         )
-        return Series(pts, tier)
+        s = Series(pts, tier)
+        # stash the exact states so downstream calendar re-rollups can
+        # MERGE STATES (count-weighted, == the pipeline's materialized
+        # calendar tiers bit-for-bit) instead of re-rolling the derived
+        # per-bucket means (VERDICT r4 next #7)
+        s._states = states  # type: ignore[attr-defined]
+        return s
 
     def score(self, detector: str = "zscore", w: int = 24, min_periods: int = 8, min_slot_n: int = 3, **_) -> "Series":
         if detector == "zscore":
@@ -267,28 +273,39 @@ class Series:
         )
 
     def calendar_rollup(self, tier: str) -> "Series":
-        """Calendar-bucket (1w/1mo/1y) mean of THIS SERIES' VALUES —
-        PromQL ``avg_over_time(series[calendar bucket])`` semantics.
+        """Calendar-bucket (1w/1mo/1y) rollup of this Series.
 
-        **On an already-rolled-up Series (the common case after
-        ``.rollup()``) this is a mean of bucket means, equally weighted
-        per bucket** — each value enters the 1d states with cnt=1, so a
-        quiet hour weighs the same as a busy one.  That is the correct
-        reading of "average of this series", and it is NOT the
-        count-weighted exact calendar mean of the underlying raw points;
-        for that, read the pipeline's materialized calendar tiers
-        (``rollup_1w``/``1mo``/``1y``, built by rollup_states_calendar
-        over the REAL 1d states), which preserve raw counts exactly
-        (ADVICE r3).  The cascade below is still exact *for the values
-        this Series carries*: values → 1d states → calendar merge,
-        bit-stable under partitioning."""
+        **After ``.rollup()`` (the common case) this is EXACT**: the
+        tier states stashed by ``.rollup()`` are merged by the same
+        state addition as the pipeline's materialized calendar tiers
+        (``rollup_1w``/``1mo``/``1y``, rollup_states_calendar over the
+        real tier states), so the fluent form matches those tables
+        bit-for-bit — count-weighted over every underlying raw point
+        (closes the r3-documented mean-of-means divergence, VERDICT r4
+        next #7).  A Series built directly from a STATES DataFrame
+        (state columns present on ``.df``) takes the same exact path.
+
+        **On a value-only Series** (from_points, gapfilled, scored —
+        no state provenance) it falls back to the mean of THIS SERIES'
+        VALUES — PromQL ``avg_over_time(series[calendar bucket])``:
+        each value enters the 1d states with cnt=1, so a quiet hour
+        weighs the same as a busy one.  Correct for "average of this
+        series", but NOT the raw-point-weighted calendar mean — re-read
+        the materialized tiers if you need that.  Either path is exact
+        state algebra for the rows it starts from, bit-stable under
+        partitioning."""
         from fischer_spark.operators.rollup import (
             rollup_points as _rp,
             rollup_states_calendar,
             with_derived_stats as _wds,
         )
 
-        states = rollup_states_calendar(_rp(self.df, "1d"), tier)
+        fine = getattr(self, "_states", None)
+        if fine is None and {"cnt", "sum"} <= set(self.df.columns):
+            fine = self.df  # a states table passed through from_points
+        states = rollup_states_calendar(
+            fine if fine is not None else _rp(self.df, "1d"), tier
+        )
         pts = _wds(states).select(
             "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
         )
@@ -324,6 +341,7 @@ def query_range(
     include_archive: bool = False,
     by: tuple[str, ...] | None = None,
     without: tuple[str, ...] | None = None,
+    avg_weight: str = "points",
 ):
     """Prometheus ``query_range``-shaped read over the rollup tier store
     (fischer's consumers read exactly this form: per-series label sets +
@@ -335,10 +353,21 @@ def query_range(
     the tier cascade, so ``sum``/``count``/``min``/``max`` across series
     are exact, and ``mean``/``stddev`` are the count-weighted stats over
     every underlying raw point in the group (equivalent to having rolled
-    the group up as one series; note PromQL's ``avg`` by contrast weighs
-    each series equally).  Dropped label columns are returned as NULL so
-    the output shape is unchanged.  Mutually exclusive; labels must be
-    among domain/metric/tag.
+    the group up as one series).  Dropped label columns are returned as
+    NULL so the output shape is unchanged.  Mutually exclusive; labels
+    must be among domain/metric/tag.
+
+    ``avg_weight`` picks the mean's weighting convention when
+    aggregating across series (only meaningful with ``stat="mean"``):
+
+    ============  =====================================================
+    ``"points"``  default — count-weighted over every underlying raw
+                  point in the group (rollup semantics: equals rolling
+                  the group up as one series; exact state algebra)
+    ``"series"``  PromQL ``avg by ()`` — each series contributes its
+                  own per-step mean with EQUAL weight (a quiet series
+                  counts as much as a busy one)
+    ============  =====================================================
 
     Tier selection: the coarsest materialized tier whose bucket divides
     ``step_s`` — so a 2h-step query touches 1/3600 of the raw rows via
@@ -380,6 +409,34 @@ def query_range(
     )
 
     group_labels = _vector_agg_labels(by, without)
+    if avg_weight not in ("points", "series"):
+        raise ValueError(
+            f"unknown avg_weight {avg_weight!r}; 'points' (count-weighted "
+            "rollup semantics) or 'series' (PromQL equal-weight avg)"
+        )
+    if avg_weight == "series" and stat != "mean":
+        raise ValueError(
+            "avg_weight='series' only applies to stat='mean' (PromQL avg); "
+            "sum/min/max/count are weighting-free"
+        )
+
+    def _series_weighted_mean(per_series_states):
+        # PromQL equal-weight avg: derive each SERIES' per-step mean from
+        # its exactly-merged states first, then a plain average across
+        # the group's series.  Second groupBy keys on a strict coarsening
+        # of the first — AQE reuses the Exchange lineage.
+        pts = with_derived_stats(per_series_states).select(
+            *_ALL_LABELS, "bucket_ts", F.col("mean").alias("value")
+        )
+        out = pts.groupBy(*group_labels, "bucket_ts").agg(
+            F.avg("value").alias("value")
+        )
+        out = _restore_labels(out, group_labels)
+        if fn is not None:
+            out = _apply_range_fn(out, fn, fn_args or {})
+        return out.select(
+            "domain", "metric", "tag", "bucket_ts", "value"
+        ).orderBy("domain", "tag", "bucket_ts")
 
     tier = next(
         (t for t in ("1d", "1h", "1m") if step_s % _TIER_S[t] == 0), None
@@ -406,6 +463,12 @@ def query_range(
         step_bucket = F.timestamp_seconds(
             (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
         ).alias("bucket_ts")
+        if avg_weight == "series":
+            return _series_weighted_mean(
+                pts.groupBy(*_ALL_LABELS, step_bucket).agg(
+                    *_point_aggs("decimal")
+                )
+            )
         merged = pts.groupBy(*group_labels, step_bucket).agg(
             *_point_aggs("decimal")
         )
@@ -455,6 +518,10 @@ def query_range(
     step_bucket = F.timestamp_seconds(
         (F.unix_timestamp("bucket_ts") / step_s).cast("long") * step_s
     ).alias("bucket_ts")
+    if avg_weight == "series":
+        return _series_weighted_mean(
+            states.groupBy(*_ALL_LABELS, step_bucket).agg(*_state_aggs(impl))
+        )
     merged = states.groupBy(*group_labels, step_bucket).agg(
         *_state_aggs(impl)
     )

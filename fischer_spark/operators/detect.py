@@ -412,6 +412,7 @@ def alert_for_intervals(
     tier: str = "1h",
     for_s: int = 0,
     alertname: str = "alert",
+    convention: str = "bucket",
 ) -> DataFrame:
     """O80 — Prometheus-style alert rule evaluation with a ``for``
     duration: the condition must hold on CONSECUTIVE tier buckets; the
@@ -436,10 +437,15 @@ def alert_for_intervals(
     INSTANT samples, where the first sample attests a point, not an
     interval, so its elapsed-time rule is ``(n-1)*step >= for_s`` and
     needs 4 hourly samples for 3h.  Consumers porting Prometheus rules
-    onto tier buckets should subtract one step from ``for`` (or accept
-    firing one bucket earlier).  The streaming evaluator
-    (streaming/rollup_stream.streaming_alerts) implements the identical
-    convention — the seam test pins them together.
+    verbatim should pass ``convention="prometheus"``: the firing gate
+    becomes ``(n_buckets − 1) * step >= for_s`` (elapsed time between
+    the first and last true bucket), with ``fires_at`` unchanged at
+    ``starts_at + for_s`` — exactly when a Prometheus evaluation at the
+    tier step would transition pending→firing.  The default
+    ``convention="bucket"`` keeps the coverage rule above.  The
+    streaming evaluator (streaming/rollup_stream.streaming_alerts)
+    implements the identical default convention — the seam test pins
+    them together.
 
     One shuffle on the series key (window + groupBy share it).  Output:
     (key, alertname, state, starts_at, fires_at, ends_at, n_buckets)
@@ -448,6 +454,11 @@ def alert_for_intervals(
     """
     from fischer_spark.functions.time import TIER_STEP_US, is_ntz
 
+    if convention not in ("bucket", "prometheus"):
+        raise ValueError(
+            f"unknown for-convention {convention!r}; 'bucket' (coverage, "
+            "n*step) or 'prometheus' (elapsed, (n-1)*step)"
+        )
     step_us = TIER_STEP_US[tier]
     w = Window.partitionBy(*KEY_COLS).orderBy("bucket_ts")
     ntz = is_ntz(series, "bucket_ts")
@@ -459,7 +470,12 @@ def alert_for_intervals(
         .withColumn("_idx", (m / F.lit(step_us)).cast("long"))
         .withColumn("_island", F.col("_idx") - F.row_number().over(w))
     )
-    dur = F.col("n_buckets") * F.lit(step_us // 1_000_000)
+    n_attested = (
+        F.col("n_buckets")
+        if convention == "bucket"
+        else F.col("n_buckets") - F.lit(1)
+    )
+    dur = n_attested * F.lit(step_us // 1_000_000)
     fires_at = F.timestamp_micros(
         F.unix_micros(F.col("starts_at").cast("timestamp")) + F.lit(int(for_s) * 1_000_000)
     )

@@ -768,3 +768,128 @@ def test_query_range_by_label_composes_with_fn(spark, tmp_path):
     store2.append("rollup_1h", rollup_points(rekeyed, "1h"))
     want = query_range(store2, None, start, end, 3600, stat="sum", fn="delta")
     assert_df_equal(got, want, tol=0)
+
+
+def test_query_range_avg_weight_series(spark, tmp_path):
+    """query_range(by=..., avg_weight="series") — PromQL equal-weight
+    `avg by ()` opt-in (VERDICT r4 next #3b), vs the default
+    count-weighted rollup semantics, on a hand-computed fixture:
+
+      series (d1,m,a) bucket 00:00 raw values [10, 20, 30] → mean 20
+      series (d1,m,b) bucket 00:00 raw value  [100]        → mean 100
+
+      avg_weight="points" (default): (10+20+30+100)/4 = 40
+      avg_weight="series":           (20+100)/2       = 60
+    """
+    import datetime
+
+    import pytest
+
+    from fischer_spark.api import query_range
+    from fischer_spark.operators.rollup import rollup_points
+    from fischer_spark.sources.storage import ParquetManifestStore
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = [
+        ("d1", "m", "a", base + datetime.timedelta(minutes=mi), float(v))
+        for mi, v in ((0, 10), (10, 20), (20, 30))
+    ] + [("d1", "m", "b", base, 100.0)]
+    points = spark.createDataFrame(
+        pts, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    store = ParquetManifestStore(spark, str(tmp_path / "w"))
+    store.append("rollup_1h", rollup_points(points, "1h"))
+    start, end = "2023-01-01 00:00:00", "2025-01-01 00:00:00"
+
+    got_pts = query_range(store, "m", start, end, 3600, by=("domain",)).collect()
+    assert len(got_pts) == 1 and got_pts[0]["value"] == pytest.approx(40.0)
+
+    got_ser = query_range(
+        store, "m", start, end, 3600, by=("domain",), avg_weight="series"
+    ).collect()
+    assert len(got_ser) == 1 and got_ser[0]["value"] == pytest.approx(60.0)
+    # dropped labels come back NULL, same shape as the default path
+    assert got_ser[0]["metric"] is None and got_ser[0]["tag"] is None
+    assert got_ser[0]["domain"] == "d1"
+    assert got_ser[0]["bucket_ts"] == base
+
+    # with every label kept, equal-weight == per-series mean (groups of 1)
+    per_series = {
+        (r["domain"], r["tag"]): r["value"]
+        for r in query_range(
+            store, "m", start, end, 3600,
+            by=("domain", "metric", "tag"), avg_weight="series",
+        ).collect()
+    }
+    assert per_series[("d1", "a")] == pytest.approx(20.0)
+    assert per_series[("d1", "b")] == pytest.approx(100.0)
+
+    with pytest.raises(ValueError, match="unknown avg_weight"):
+        query_range(store, "m", start, end, 3600, by=("domain",), avg_weight="promql")
+    with pytest.raises(ValueError, match="only applies to stat='mean'"):
+        query_range(
+            store, "m", start, end, 3600,
+            by=("domain",), stat="sum", avg_weight="series",
+        )
+
+
+def test_fluent_calendar_rollup_matches_pipeline_tier(pages):
+    """VERDICT r4 next #7: `.rollup(t).calendar_rollup(cal)` merges the
+    stashed tier STATES, so the fluent form equals the pipeline's
+    materialized calendar tier (rollup_states_calendar over real
+    states) bit-for-bit — count-weighted over raw points, NOT a mean of
+    bucket means.  A value-only Series (no state provenance) keeps the
+    documented avg_over_time fallback."""
+    from pyspark.sql import functions as F
+
+    from fischer_spark.api import Series
+    from fischer_spark.operators.rollup import (
+        rollup_points,
+        rollup_states_calendar,
+        with_derived_stats,
+    )
+    from fischer_spark.operators.series import build_series
+    from tests.conftest import assert_df_equal
+
+    points = build_series(pages, ("crawl_rate", "page_size"))
+
+    for cal in ("1w", "1mo"):
+        got = Series.from_points(points).rollup("1h").calendar_rollup(cal).df
+        want = with_derived_stats(
+            rollup_states_calendar(rollup_points(points, "1h"), cal)
+        ).select(
+            "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
+        )
+        assert_df_equal(got, want, tol=0)  # bit-for-bit vs pipeline tier
+
+    # a states DataFrame passed straight through from_points also takes
+    # the exact path (state columns detected on .df)
+    st = rollup_points(points, "1d")
+    got_states = Series.from_points(st).calendar_rollup("1mo").df
+    want_states = with_derived_stats(rollup_states_calendar(st, "1mo")).select(
+        "domain", "metric", "tag", "bucket_ts", F.col("mean").alias("value")
+    )
+    assert_df_equal(got_states, want_states, tol=0)
+
+    # value-only fallback: equally-weighted mean of this series' values
+    vals = Series.from_points(points).rollup("1h").df  # plain points now
+    got_fb = Series.from_points(vals).calendar_rollup("1mo").df
+    want_fb = vals.groupBy(
+        "domain", "metric", "tag",
+        F.date_trunc("month", "bucket_ts").alias("bucket_ts"),
+    ).agg(F.avg("value").alias("value"))
+    assert_df_equal(got_fb, want_fb, tol=1e-9)
+    # and the two paths genuinely differ on skewed counts (the closed
+    # divergence was real): some group must disagree.  tag is NULL on
+    # these series, so compare via pandas keys, not an equi-join.
+    def _m(df):
+        return {
+            (r["domain"], r["metric"], r["tag"], r["bucket_ts"]): r["value"]
+            for r in df.collect()
+        }
+
+    fb, ex = _m(got_fb), _m(
+        Series.from_points(points).rollup("1h").calendar_rollup("1mo").df
+    )
+    assert fb.keys() == ex.keys() and len(fb) > 0
+    assert any(abs(fb[k] - ex[k]) > 1e-9 for k in fb)

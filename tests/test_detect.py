@@ -171,3 +171,58 @@ def test_alert_for_intervals_gap_resets_timer(spark):
     assert len(fire) == 1 and fire.state.iloc[0] == "firing"
     assert fire.n_buckets.iloc[0] == 4
     assert fire.fires_at.iloc[0] == base + datetime.timedelta(hours=3)
+
+
+def test_alert_for_prometheus_convention(spark):
+    """O80 opt-in (VERDICT r4 next #3a): convention="prometheus" fires on
+    ELAPSED time (n-1)*step >= for, matching Prometheus' instant-sample
+    rule, one bucket LATER than the default coverage rule n*step >= for.
+
+    Hand-computed at tier=1h, for=3h:
+      3 consecutive true buckets → bucket: 3h>=3h FIRING; prom: 2h<3h PENDING
+      4 consecutive true buckets → both conventions FIRING
+    """
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.detect import alert_for_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("three", "m", None, base + datetime.timedelta(hours=h), 9.0)
+        for h in range(3)
+    ] + [
+        ("four", "m", None, base + datetime.timedelta(hours=h), 9.0)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts timestamp, value double"
+    )
+    cond = F.col("value") >= 5
+
+    bucket = {
+        r["domain"]: r
+        for r in alert_for_intervals(df, cond, tier="1h", for_s=3 * 3600).collect()
+    }
+    prom = {
+        r["domain"]: r
+        for r in alert_for_intervals(
+            df, cond, tier="1h", for_s=3 * 3600, convention="prometheus"
+        ).collect()
+    }
+    # the divergence case: exactly-for-long run
+    assert bucket["three"]["state"] == "firing"
+    assert prom["three"]["state"] == "pending" and prom["three"]["fires_at"] is None
+    # one bucket longer: both fire, at the same instant starts_at + for
+    for out in (bucket, prom):
+        assert out["four"]["state"] == "firing"
+        assert out["four"]["fires_at"] == base + datetime.timedelta(hours=3)
+    # both conventions report the same island geometry
+    for d in ("three", "four"):
+        assert bucket[d]["starts_at"] == prom[d]["starts_at"]
+        assert bucket[d]["n_buckets"] == prom[d]["n_buckets"]
+
+    with pytest.raises(ValueError, match="unknown for-convention"):
+        alert_for_intervals(df, cond, tier="1h", for_s=0, convention="grafana")

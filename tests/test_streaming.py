@@ -396,3 +396,83 @@ def test_streaming_alerts_match_batch_transitions(spark, tmp_path):
     # never at the false bucket's own h3
     assert ("c", "resolved", hr(2)) in got
     assert ("c", "resolved", hr(3)) not in got
+
+
+def test_streaming_hist_tier_late_event_matches_batch_refresh(spark, tmp_path):
+    """VERDICT r4 next #6 — the hist-tier lambda seam under late data,
+    mirroring the states seam test above: a late event arriving INSIDE
+    the watermark merges into its still-open 1h window's BIN COUNTS,
+    and every finalized streaming hist row equals the batch hist tier
+    after an idempotent late-data refresh (refresh_hist_tier), exact
+    integer bin counts bit-for-bit."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from fischer_spark.operators.histogram import hist_states, refresh_hist_tier
+    from fischer_spark.operators.series import page_size_series
+    from fischer_spark.sources.storage import ParquetManifestStore
+    from fischer_spark.streaming.rollup_stream import streaming_hist_tier
+
+    LO, HI, NB = 0.0, 1024.0, 16  # bin width 64
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda m, b: ("d", t0 + datetime.timedelta(minutes=m), b)
+    schema = "domain string, warc_ts timestamp, page_bytes long"
+    # hour-0 window: minutes 0..9 at 100+m (all bin 1), minute 30 at 500 (bin 7)
+    on_time = [mk(m, 100 + m) for m in range(10)] + [mk(30, 500)]
+    late = [mk(5, 100)]  # same window AND same bin as the on-time rows
+    flush1 = [mk(180, 1)]  # advances watermark past the real window
+    flush2 = [mk(240, 1)]  # one more batch so append-mode emits it
+
+    src = tmp_path / "hist_late_src"
+    src.mkdir()
+    for i, batch in enumerate([on_time, late, flush1, flush2]):
+        part_dir = str(tmp_path / f"hb{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(part_dir)
+        dst = str(src / f"{i:02d}.parquet")
+        shutil.copy(glob.glob(f"{part_dir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_hist_tier(stream, "1h", LO, HI, NB, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_stream_hist_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT * FROM t_stream_hist_late WHERE bucket_ts < '2024-01-01 01:00:00'"
+    )
+
+    # the late row merged into its open window's bin before finalization
+    bins = {r["bin"]: r["bin_cnt"] for r in got.collect()}
+    assert bins == {1: 11, 7: 1}
+
+    # batch system of record: base hist tier committed, then the late
+    # event refreshes exactly the touched bucket by bin-count addition
+    store = ParquetManifestStore(spark, str(tmp_path / "hwh"))
+    base = hist_states(
+        page_size_series(spark.createDataFrame(on_time, schema)), "1h", LO, HI, NB
+    )
+    store.append("hist_1h", base)
+    delta = hist_states(
+        page_size_series(spark.createDataFrame(late, schema)), "1h", LO, HI, NB
+    )
+    assert refresh_hist_tier(store, "hist_1h", "1h", delta) is not None
+
+    want = store.read("hist_1h")
+    j = got.join(
+        want.select("domain", "bucket_ts", "bin", F.col("bin_cnt").alias("w_cnt")),
+        ["domain", "bucket_ts", "bin"],
+        "inner",
+    )
+    assert j.count() == got.count() == 2
+    assert j.filter(F.col("bin_cnt") != F.col("w_cnt")).count() == 0

@@ -643,10 +643,13 @@ def simhash64_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register("media_features_synth")
 def media_features_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing driven end-to-end: synth opaque media rows →
-    mapInPandas feature extraction (decode kernel stubbed — no image libs
-    in this container; deterministic fake keeps schema/batch shape real).
-    Ignores sf_dir (media is synthesized, not a testdata table)."""
+    """Multimodal pipeline driven end-to-end: synth media rows (image
+    rows carry REAL deterministic PNG/BMP payloads) → mapInPandas
+    feature extraction.  PNG/BMP decode via the stdlib codec
+    (operators/multimodal.py) — true width/height/mean_luma from
+    pixels; audio/video keep the deterministic fake stats (no stdlib
+    decoder exists; PIL absent from the container).  Ignores sf_dir
+    (media is synthesized, not a testdata table)."""
     from fischer_spark.operators.multimodal import extract_media_features, synth_media
 
     return extract_media_features(synth_media(spark, 500))

@@ -88,14 +88,79 @@ def test_multimodal_features(spark):
     assert all(r.frames_sampled >= 1 for r in rows)
     vids = [r for r in rows if r.kind == "video"]
     assert any(r.frames_sampled > 1 for r in vids)
-    # decode stub is gated, not silently fake
+    # image rows are REALLY decoded (stdlib PNG/BMP codec) with true dims;
+    # audio/video stay on the deterministic fake path
+    imgs = [r for r in rows if r.kind == "image"]
+    assert imgs and all(r.decoded for r in imgs)
+    assert all(8 <= r.width <= 32 and 8 <= r.height <= 24 for r in imgs)
+    assert all(not r.decoded for r in rows if r.kind != "image")
+    # non-PNG/BMP decode is gated on PIL, not silently fake
     if not HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG")
-    # determinism across partitioning
-    again = {r.media_id: r.sha for r in extract_media_features(media.repartition(11)).collect()}
-    first = {r.media_id: r.sha for r in rows}
+            decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    # determinism across partitioning (payload AND pixel stats)
+    again = {
+        r.media_id: (r.sha, r.mean_luma, r.width)
+        for r in extract_media_features(media.repartition(11)).collect()
+    }
+    first = {r.media_id: (r.sha, r.mean_luma, r.width) for r in rows}
     assert first == again
+
+
+def test_stdlib_image_codecs():
+    """VERDICT r4 next #5 — the stdlib PNG/BMP codecs: bit-exact
+    round-trips for every PNG filter type and channel count, BMP row
+    padding, luma agreement between the two encodings of the same
+    pixels, and loud errors on unsupported shapes."""
+    import numpy as np
+    import pytest
+
+    from fischer_spark.operators.multimodal import (
+        _luma,
+        _synth_pixels,
+        decode_bmp,
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rgb = _synth_pixels(7, 42)  # deterministic gradient, odd width likely
+    gray = rgb[:, :, 0]
+    rgba = np.dstack([rgb, (rgb.sum(axis=2) % 256).astype(np.uint8)])
+
+    # every filter type reconstructs bit-exactly, every channel count
+    for px in (gray, rgb, rgba):
+        for ft in range(5):
+            got = decode_png(encode_png(px, filter_type=ft))
+            assert got.shape == px.shape and (got == px).all(), (px.shape, ft)
+
+    # BMP: bit-exact including non-multiple-of-4 row strides
+    for w in (8, 9, 10, 11):
+        px = _synth_pixels(w * 31 + 1, 1)[:, :w]
+        got = decode_bmp(encode_bmp(px))
+        assert got.shape == px.shape and (got == px).all(), w
+
+    # the same pixels produce the same luma through either container
+    assert _luma(decode_png(encode_png(rgb))) == _luma(decode_bmp(encode_bmp(rgb)))
+    # hand-checked luma: all-white is 1.0, all-black 0.0
+    white = np.full((4, 4, 3), 255, dtype=np.uint8)
+    assert _luma(decode_png(encode_png(white))) == pytest.approx(1.0)
+    assert _luma(decode_bmp(encode_bmp(np.zeros((4, 4, 3), np.uint8)))) == 0.0
+
+    # dispatch: magic bytes route to the right codec
+    assert (decode_image(encode_png(gray)) == gray).all()
+    assert (decode_image(encode_bmp(rgb)) == rgb).all()
+
+    # unsupported shapes fail loudly, never silently wrong
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"\x89PNG")  # truncated magic
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_bmp(b"XX nope")
+    bad_depth = bytearray(encode_png(rgb))
+    bad_depth[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(bad_depth))
 
 
 def test_embedding_near_dup_pairs_lsh_recall(spark):

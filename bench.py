@@ -108,6 +108,12 @@ def main() -> None:
         "hist_p95_by_label_events",
         "share_of_domain_events",
         "quantile_across_series_events",
+        # round-5 surface: the PromQL long-tail queries new this round
+        "bottomk_series_events",
+        "count_values_events",
+        "irate_events",
+        "label_ops_events",
+        "share_of_type_right_events",
     ]
     timings: dict[str, float] = {}
 

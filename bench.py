@@ -114,6 +114,8 @@ def main() -> None:
         "irate_events",
         "label_ops_events",
         "share_of_type_right_events",
+        "hist_fraction_1h_events",
+        "holt_exact_events_1h",
     ]
     timings: dict[str, float] = {}
 

@@ -227,3 +227,58 @@ def hist_quantile(
         .otherwise(F.lit(float(lo)) + (F.col("qbin") + F.lit(0.5)) * F.lit(width))
     )
     return first.select(*keys, "bucket_ts", F.col("n"), est.alias("quantile"))
+
+
+def _fraction_consts(x: float, lo: float, hi: float, n_bins: int):
+    """(bin index of x, within-bin interpolation coefficient) as PYTHON
+    constants — both engines consume the same literals, so the estimate
+    is bit-identical by construction (no per-engine float expression
+    trees to keep in sync). x must lie in [lo, hi]."""
+    if not (lo <= x <= hi):
+        raise ValueError(f"fraction bound {x} outside histogram range [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    b = int((x - lo) / width)  # floor for non-negative operands
+    if b >= n_bins:  # x == hi: everything below overflow counts fully
+        return n_bins, 0.0
+    coef = (x - (lo + b * width)) / width
+    return b, coef
+
+
+def hist_fraction(
+    hist: DataFrame, lo_v: float, hi_v: float, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """PromQL ``histogram_fraction(lo_v, hi_v, h)`` on the linear-bin
+    tier: estimated fraction of observations with value in [lo_v, hi_v),
+    per (key, bucket).  Bins strictly below the boundary bin count
+    fully (the underflow bin counts fully once the bound is >= lo);
+    the boundary bin contributes linearly interpolated mass — the same
+    uniform-within-bin assumption Prometheus documents for
+    histogram_fraction on classic histograms.  Bounds must lie within
+    [lo, hi]: mass inside the open-ended under/overflow bins has no
+    defensible interpolation and raises instead of guessing.
+
+    One groupBy over the long-form tier (conditional sums, map-side
+    partial agg); the interpolation coefficients are Python-computed
+    literals shared verbatim with the SQL oracle, so integer bin counts
+    are the only data-dependent inputs — exact under any partitioning."""
+    if hi_v < lo_v:
+        raise ValueError(f"empty fraction range [{lo_v}, {hi_v})")
+    keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
+
+    def _below(x: float):
+        b, coef = _fraction_consts(x, lo, hi, n_bins)
+        full = F.sum(F.when(F.col("bin") < b, F.col("bin_cnt")).otherwise(F.lit(0)))
+        part = F.sum(F.when(F.col("bin") == b, F.col("bin_cnt")).otherwise(F.lit(0)))
+        return full.cast("double") + F.lit(coef) * part.cast("double")
+
+    total = F.sum("bin_cnt").cast("long")
+    return (
+        hist.groupBy(*keys, "bucket_ts")
+        .agg(
+            total.alias("n"),
+            ((_below(hi_v) - _below(lo_v)) / F.sum("bin_cnt").cast("double")).alias(
+                "fraction"
+            ),
+        )
+        .select(*keys, "bucket_ts", "n", "fraction")
+    )

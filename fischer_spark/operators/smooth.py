@@ -15,10 +15,13 @@ Each sample depends on its predecessor's smoothed state, so the
 computation is inherently sequential PER SERIES — the right Spark shape
 is one grouped Arrow UDF per series key (applyInPandas), numpy inside;
 series are independent, so parallelism is across keys exactly like the
-LTTB downsample (operators/downsample.py).  Not SQL-expressible without
-numerically explosive (1-alpha)^-i rescaling, hence rows-only in the
-driver gate; the kernels are pinned index-for-index against naive
-Python loops in tests/test_smooth.py.
+LTTB downsample (operators/downsample.py).  No closed WINDOW form exists
+without numerically explosive (1-alpha)^-i rescaling, but the Holt
+recurrence IS oracle-checkable via a DuckDB recursive CTE that replays
+the identical double op sequence — holt_exact_events_1h runs it under
+the driver's full value gate (bit-exact, queries_extended.py O109); the
+kernels are additionally pinned index-for-index against naive Python
+loops in tests/test_smooth.py.
 
 EWMA runs through pandas ``Series.ewm(alpha, adjust=False).mean()`` —
 the Cython implementation of exactly s_t = (1-a)*s_{t-1} + a*y_t, C

@@ -359,6 +359,57 @@ def hist_p95_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O108 — PromQL histogram_fraction on the linear-bin tier.  The
+# interpolation coefficients are PYTHON constants computed once and
+# inlined into BOTH the Spark plan and the SQL (shortest-repr float
+# literals round-trip exactly), so the only data-dependent inputs are
+# exact integer bin counts — hash-safe under any partitioning.
+# --------------------------------------------------------------------------
+
+_HF_LO_V, _HF_HI_V = 65.0, 250.0  # bin 8 coef 0.125 / bin 31 coef 0.25
+# the literals below are _fraction_consts(_HF_LO_V/_HF_HI_V, ...) inlined;
+# tests/test_histogram.py pins the equality so the SQL can never drift
+_HF_BL, _HF_CL, _HF_BH, _HF_CH = 8, 0.125, 31, 0.25
+
+
+@register(
+    "hist_fraction_1h_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, CAST('event_value' AS VARCHAR) AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('hour', ts) AS bucket_ts, value
+    FROM events
+  ),
+  h AS (
+    SELECT domain, metric, tag, bucket_ts, {_H_BIN_SQL} AS bin,
+           count(*) AS bin_cnt
+    FROM pts GROUP BY 1, 2, 3, 4, 5
+  )
+  SELECT domain, metric, tag, bucket_ts,
+         CAST(sum(bin_cnt) AS BIGINT) AS n,
+         ((CAST(sum(CASE WHEN bin < {_HF_BH} THEN bin_cnt ELSE 0 END) AS DOUBLE)
+           + {_HF_CH!r} * CAST(sum(CASE WHEN bin = {_HF_BH} THEN bin_cnt ELSE 0 END) AS DOUBLE))
+          - (CAST(sum(CASE WHEN bin < {_HF_BL} THEN bin_cnt ELSE 0 END) AS DOUBLE)
+             + {_HF_CL!r} * CAST(sum(CASE WHEN bin = {_HF_BL} THEN bin_cnt ELSE 0 END) AS DOUBLE)))
+         / CAST(sum(bin_cnt) AS DOUBLE) AS fraction
+  FROM h GROUP BY 1, 2, 3, 4
+""",
+)
+def hist_fraction_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_fraction(65, 250, event_value[1h])``: estimated
+    share of observations in [65, 250) per (series key, hour), read from
+    the SAME long-form 1h histogram tier the percentile queries serve
+    (operators/histogram.py ``hist_fraction`` — one conditional-sum
+    groupBy, map-side partial agg, no window)."""
+    from fischer_spark.operators.histogram import hist_fraction, hist_states
+    from fischer_spark.queries import _events_series
+
+    h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
+    return hist_fraction(h1h, _HF_LO_V, _HF_HI_V, _H_LO, _H_HI, _H_BINS)
+
+
+# --------------------------------------------------------------------------
 # counter semantics: reset-aware increase/rate (O-counter).  A deterministic
 # cumulative counter WITH genuine resets is synthesized from the events
 # fixture (integer running sum mod 1000 per user), then the operator must
@@ -660,6 +711,79 @@ def holt_winters_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket_ts", F.col("smoothed").alias("ewma")
     )
     return sm.join(ew, ["event_type", "bucket_ts"])
+
+
+# --------------------------------------------------------------------------
+# O109 — the Holt recurrence under a FULL SQL oracle via a DuckDB
+# recursive CTE.  The r1-r4 "not SQL-expressible" note was about
+# closed-form window rescaling (numerically explosive (1-a)^-i factors);
+# a recursive CTE sidesteps it: the oracle walks the recurrence sample
+# by sample with the IDENTICAL double expression tree the numpy kernel
+# evaluates (same literals, same op order, IEEE 754 both sides), and the
+# recurrence is a contraction (coefficients < 1), so there is no error
+# amplification path.  Input means are exact-decimal (hash convention).
+# The rows-only holt_winters_events_1h above keeps the EWMA column
+# (pandas' Cython ewm kernel is not op-order replicable in SQL).
+# --------------------------------------------------------------------------
+
+@register(
+    "holt_exact_events_1h",
+    """
+  WITH RECURSIVE s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  n AS (
+    SELECT event_type, bucket_ts, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn,
+           lead(value) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS nxt
+    FROM s
+  ),
+  rec AS (
+    SELECT event_type, bucket_ts, value, rn,
+           value AS level, nxt - value AS trend
+    FROM n WHERE rn = 1
+    UNION ALL
+    SELECT n.event_type, n.bucket_ts, n.value, n.rn,
+           0.3 * n.value + (1.0 - 0.3) * (rec.level + rec.trend) AS level,
+           0.1 * ((0.3 * n.value + (1.0 - 0.3) * (rec.level + rec.trend))
+                  - rec.level)
+             + (1.0 - 0.1) * rec.trend AS trend
+    FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1
+  )
+  SELECT event_type, bucket_ts, value, level AS smoothed, trend FROM rec
+""",
+)
+def holt_exact_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_winters(0.3, 0.1) over the exact-decimal per-hour mean series
+    per event_type — the same grouped-Arrow kernel as
+    holt_winters_events_1h, but with hash-convention inputs so the
+    sequential state itself sits under the driver's full value gate.
+    Single-sample series get NULL trend (no pair to seed it) on both
+    sides; the kernel's NaN is normalized to NULL here."""
+    from fischer_spark.operators.smooth import holt
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double")
+        ).alias("value")
+    )
+    sm = holt(series, ["event_type"], sf=0.3, tf=0.1)
+    return sm.select(
+        "event_type",
+        "bucket_ts",
+        "value",
+        "smoothed",
+        F.when(F.isnan("trend"), F.lit(None))
+        .otherwise(F.col("trend"))
+        .alias("trend"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -175,3 +175,62 @@ def test_query_range_hist_by_label_pools_bins(spark, tmp_path, value_points):
         lo=LO, hi=HI, n_bins=BINS, by=(),
     )
     assert_df_equal(got_enc, direct)
+
+
+def test_fraction_consts_pinned():
+    """The literals inlined into hist_fraction_1h_events' SQL oracle must
+    equal _fraction_consts' output — the oracle can never drift from the
+    operator's arithmetic."""
+    from fischer_spark.operators.histogram import _fraction_consts
+    from fischer_spark.queries_extended import (
+        _H_BINS,
+        _H_HI,
+        _H_LO,
+        _HF_BH,
+        _HF_BL,
+        _HF_CH,
+        _HF_CL,
+        _HF_HI_V,
+        _HF_LO_V,
+    )
+
+    assert _fraction_consts(_HF_LO_V, _H_LO, _H_HI, _H_BINS) == (_HF_BL, _HF_CL)
+    assert _fraction_consts(_HF_HI_V, _H_LO, _H_HI, _H_BINS) == (_HF_BH, _HF_CH)
+    # x == hi degenerates to "everything below overflow", zero interpolation
+    assert _fraction_consts(_H_HI, _H_LO, _H_HI, _H_BINS) == (_H_BINS, 0.0)
+    with pytest.raises(ValueError):
+        _fraction_consts(_H_HI + 1.0, _H_LO, _H_HI, _H_BINS)
+
+
+def test_hist_fraction_matches_brute(spark, value_points):
+    """hist_fraction == the hand-computed bin-mass fraction, and tracks
+    the TRUE fraction within the interpolation error bound (one bin of
+    mass at each boundary)."""
+    from fischer_spark.operators.histogram import hist_fraction, hist_states
+
+    lo_v, hi_v = 10.0, 71.0  # bin 5 coef 0, bin 35 coef 0.5
+    h = hist_states(value_points, "1d", LO, HI, BINS)
+    got = {
+        (r["domain"], r["bucket_ts"]): (r["n"], r["fraction"])
+        for r in hist_fraction(h, lo_v, hi_v, LO, HI, BINS).collect()
+    }
+    rows = value_points.collect()
+    import collections
+
+    by_key = collections.defaultdict(list)
+    for r in rows:
+        day = r["bucket_ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        by_key[(r["domain"], day)].append(r["value"])
+    assert set(got) == set(by_key)
+    for k, vals in by_key.items():
+        n, frac = got[k]
+        assert n == len(vals)
+        true_frac = sum(1 for v in vals if lo_v <= v < hi_v) / len(vals)
+        # interpolation error ≤ the mass of the two boundary bins
+        edge_mass = sum(
+            1 for v in vals if (10.0 <= v < 12.0) or (70.0 <= v < 72.0)
+        ) / len(vals)
+        assert abs(frac - true_frac) <= edge_mass + 1e-12, k
+    # bound validation
+    with pytest.raises(ValueError):
+        hist_fraction(h, 50.0, 10.0, LO, HI, BINS)

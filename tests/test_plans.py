@@ -310,3 +310,33 @@ def test_vector_quantile_shares_one_exchange_after_series_agg(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # series agg + quantile key
     assert len(re.findall(r"\(\d+\) Sort", p)) == 1
     assert "Join" not in p and "SinglePartition" not in p
+
+
+def test_hist_fraction_single_exchange_no_window(spark):
+    """hist_fraction_1h_events: the binned states and the fraction read
+    are two stacked aggregations sharing keys — conditional sums
+    partial-aggregate map-side, no Window operator anywhere (the
+    quantile read needs a cumulative walk; the fraction read does not)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["hist_fraction_1h_events"](spark, SF))
+    assert ") Window" not in p
+    assert "partial_sum" in p or "partial_count" in p
+    # binning agg + fraction agg collapse onto ONE shuffle: the second
+    # groupBy's keys are a prefix of the first's, so AQE/Catalyst may
+    # keep them on one Exchange; allow at most two (never a third from
+    # a stray repartition or window)
+    assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_holt_exact_single_exchange_arrow(spark):
+    """holt_exact_events_1h: exact-decimal mean agg and the grouped
+    Arrow kernel — FlatMapGroupsInPandas present, joins absent, and no
+    more Exchanges than the agg (hour buckets) + the regroup (series
+    key) require."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["holt_exact_events_1h"](spark, SF))
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p
+    assert p.count(") Exchange") <= 2

@@ -116,6 +116,7 @@ def main() -> None:
         "share_of_type_right_events",
         "hist_fraction_1h_events",
         "holt_exact_events_1h",
+        "corpus_curation_documents",
     ]
     timings: dict[str, float] = {}
 

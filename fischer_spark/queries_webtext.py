@@ -1140,3 +1140,148 @@ def ingest_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
     )
     return j.select("doc_id", "text_hash", verdict.alias("verdict"))
+
+
+# --------------------------------------------------------------------------
+# corpus curation capstone: ONE call that turns raw documents into
+# keep/drop verdicts with a deterministic reason — the decision layer a
+# training-data pipeline runs after the individual signals (C4/Gopher/
+# CCNet-style rule filtering; Rae et al. 2021 §A1.1 pattern family).
+# Composes the signals already gated above (lang scripts, stopword
+# ratio, repetition, shingle decontamination, exact dedup) into a fixed
+# precedence: eval_set > empty > too_short > repetitive > low_stopword
+# > contaminated > exact_dup > keep.  Every ratio is a single division
+# of exact integers and every threshold a shared literal, so the
+# verdict CASE is hash-safe cross-engine; the CASE itself is ONE string
+# evaluated by both Spark and DuckDB (the _LANGID_PRED_SQL pattern).
+# Scale shape: one document scan feeds token stats; the md5 dedup
+# window shuffles (16-byte digest, doc_id) only; the decontamination
+# side reuses the broadcast-eval-shingle join (corpus shingles stream,
+# never shuffle); verdicts join back on doc_id.
+# --------------------------------------------------------------------------
+
+_CUR_MIN_TOKENS = 20
+_CUR_MAX_DUP = 0.68
+_CUR_MIN_STOP = 0.02
+
+_CURATION_CASE = f"""CASE
+           WHEN doc_id % {_EVAL_MOD} = 0 THEN 'eval_set'
+           WHEN n_tokens = 0 THEN 'empty'
+           WHEN n_tokens < {_CUR_MIN_TOKENS} THEN 'too_short'
+           WHEN dup_token_ratio > {_CUR_MAX_DUP} THEN 'repetitive'
+           WHEN n_cjk = 0 AND stopword_ratio < {_CUR_MIN_STOP} THEN 'low_stopword'
+           WHEN n_shared_shingles >= 1 THEN 'contaminated'
+           WHEN doc_id <> rep_doc_id THEN 'exact_dup'
+           ELSE 'keep' END"""
+
+
+def curate_documents(d: DataFrame) -> DataFrame:
+    """Per-document curation verdict over a documents-shaped DataFrame
+    (doc_id, lang, text).  Returns (doc_id, lang, n_tokens,
+    dup_token_ratio, stopword_ratio, n_shared_shingles, keep, reason).
+    Thresholds are module constants shared with the SQL oracle."""
+    toks = F.when(
+        F.col("text").isNull() | (F.trim("text") == ""), F.lit(None)
+    ).otherwise(F.expr(_TOK_SPARK))
+    base = d.select("doc_id", "lang", "text", toks.alias("toks"))
+
+    n_tok_d = F.size("toks").cast("double")
+    stats = base.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_tok_d
+        ).alias("dup_token_ratio"),
+        (
+            F.size(F.expr(f"filter(toks, t -> t IN {_STOPWORDS})")).cast("double")
+            / n_tok_d
+        ).alias("stopword_ratio"),
+        F.length(
+            F.regexp_replace("text", f"[^{_HAN}{_KANA}{_HANGUL}]", "")
+        ).alias("n_cjk"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("rep_doc_id"),
+    )
+
+    # decontamination side: same broadcast-eval-shingle shape as
+    # contamination_check_documents, aggregated to one count per doc
+    s = base.filter(F.size("toks") >= _SHINGLE_N).select("doc_id", "toks")
+    shingle = (
+        f"transform(sequence(1, size(toks) - {_SHINGLE_N} + 1), "
+        f"i -> md5(cast(array_join(slice(toks, i, {_SHINGLE_N}), ' ') as binary)))"
+    )
+    sh = s.select("doc_id", F.explode(F.expr(shingle)).alias("sh"))
+    eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("sh").distinct()
+    cont = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+
+    out = stats.join(cont, "doc_id", "left").withColumn(
+        "n_shared_shingles", F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    )
+    reason = F.expr(_CURATION_CASE)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "dup_token_ratio",
+        "stopword_ratio",
+        "n_shared_shingles",
+        (reason == F.lit("keep")).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+@register(
+    "corpus_curation_documents",
+    f"""
+  WITH base AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                ELSE {_TOK_DUCK} END AS toks
+    FROM documents
+  ),
+  stats AS (
+    SELECT doc_id, lang,
+           CAST(coalesce(length(toks), 0) AS BIGINT) AS n_tokens,
+           1.0 - CAST(length(list_distinct(toks)) AS DOUBLE)
+                 / CAST(length(toks) AS DOUBLE) AS dup_token_ratio,
+           CAST(length(list_filter(toks, t -> t IN {_STOPWORDS})) AS DOUBLE)
+             / CAST(length(toks) AS DOUBLE) AS stopword_ratio,
+           length(regexp_replace(text, '[^{_HAN}{_KANA}{_HANGUL}]', '', 'g')) AS n_cjk,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS rep_doc_id
+    FROM base
+  ),
+  w AS (SELECT doc_id, toks FROM base WHERE len(toks) >= {_SHINGLE_N}),
+  sh AS (
+    SELECT doc_id, md5(array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ')) AS sh
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_SHINGLE_N} + 2)) AS i FROM w)
+  ),
+  eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+  cont AS (
+    SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared
+    FROM sh c JOIN eval_sh e USING (sh)
+    WHERE c.doc_id % {_EVAL_MOD} <> 0 GROUP BY 1
+  ),
+  j AS (
+    SELECT stats.*, CAST(coalesce(cont.n_shared, 0) AS BIGINT) AS n_shared_shingles
+    FROM stats LEFT JOIN cont USING (doc_id)
+  )
+  SELECT doc_id, lang, n_tokens, dup_token_ratio, stopword_ratio,
+         n_shared_shingles,
+         ({_CURATION_CASE}) = 'keep' AS keep,
+         {_CURATION_CASE} AS reason
+  FROM j
+""",
+)
+def corpus_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus curation: keep/drop + deterministic reason per
+    document, composing the individually-gated signals above (see
+    curate_documents).  The flagship 'user runs the whole filter stack'
+    query for the training-data pipeline surface."""
+    return curate_documents(scan_testdata(spark, sf_dir, "documents"))

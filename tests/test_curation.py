@@ -1,0 +1,82 @@
+"""Corpus curation capstone (queries_webtext.curate_documents): every
+verdict branch fires on a planted corpus, precedence is deterministic,
+and verdicts are partitioning-invariant."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _planted_docs(spark):
+    # doc_ids chosen so none is % 97 == 0 except the explicit eval doc
+    base_text = (
+        "the quick brown fox jumps over a lazy dog and then the small "
+        "red hen walks to town for grain with friends in every field "
+        "under open skies during long summer days of quiet warm wind"
+    )  # 33 distinct tokens, stopword-rich, > 20 tokens
+    eval_text = (
+        "alpha beta gamma delta epsilon zeta eta theta of the and to in "
+        "is for on with iota kappa lambda mu nu xi omicron pi rho sigma"
+    )
+    contaminated = eval_text + " tau upsilon phi chi psi omega extra tail"
+    rows = [
+        (1, "en", base_text),                      # keep
+        (2, "en", base_text),                      # exact_dup of 1
+        (3, "en", None),                           # empty (NULL)
+        (4, "en", "   "),                          # empty (whitespace)
+        (5, "en", "only five tokens right here"),  # too_short
+        (6, "en", " ".join(["spam"] * 40)),        # repetitive (dup ratio ~0.975)
+        (7, "en", " ".join(f"w{i}" for i in range(40))),  # low_stopword (0 stops)
+        (97, "en", eval_text),                     # eval_set (97 % 97 == 0)
+        (9, "en", contaminated),                   # contaminated (shares 8-shingles)
+        (10, "zh", "你好 世界 " * 20),               # CJK: exempt from stopword rule
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    from fischer_spark.queries_webtext import curate_documents
+
+    return {
+        r["doc_id"]: r for r in curate_documents(_planted_docs(spark)).collect()
+    }
+
+
+def test_every_branch_fires(verdicts):
+    expect = {
+        1: "keep",
+        2: "exact_dup",
+        3: "empty",
+        4: "empty",
+        5: "too_short",
+        6: "repetitive",
+        7: "low_stopword",
+        97: "eval_set",
+        9: "contaminated",
+    }
+    for doc_id, reason in expect.items():
+        assert verdicts[doc_id]["reason"] == reason, (doc_id, verdicts[doc_id])
+        assert verdicts[doc_id]["keep"] == (reason == "keep")
+
+
+def test_cjk_exempt_from_stopword_rule(verdicts):
+    # repeated two-token text: dup_token_ratio is high, so the CJK doc
+    # drops as repetitive — but NEVER as low_stopword (n_cjk > 0)
+    assert verdicts[10]["reason"] == "repetitive"
+    assert verdicts[10]["stopword_ratio"] == 0.0
+
+
+def test_signal_columns(verdicts):
+    assert verdicts[3]["n_tokens"] == 0 and verdicts[4]["n_tokens"] == 0
+    assert verdicts[6]["dup_token_ratio"] == 1.0 - 1.0 / 40.0
+    assert verdicts[9]["n_shared_shingles"] >= 1
+    assert verdicts[97]["n_shared_shingles"] == 0  # eval docs never self-match
+
+
+def test_partitioning_invariance(spark):
+    from fischer_spark.queries_webtext import curate_documents
+    from tests.conftest import assert_df_equal
+
+    docs = _planted_docs(spark)
+    assert_df_equal(curate_documents(docs), curate_documents(docs.repartition(7)))

@@ -493,6 +493,132 @@ def lttb_events_1m_50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O111 — LTTB under a FULL SQL oracle.  The "not SQL-expressible" note on
+# lttb_events_1m_50 is about unbounded-length recursion; with n_out FIXED
+# (50 points) the selection recurrence is exactly 48 sequential argmax
+# steps, so the oracle UNROLLS it into 48 generated chained CTEs — the
+# same move the recursive-CTE Holt oracle (O109) made for per-sample
+# state, applied to per-bucket state.  Bit-exactness holds because every
+# float input is an exactly-representable small integer: values are
+# per-minute COUNTS and timestamps are REBASED minute indexes (t - t0),
+# so bucket-centroid sums are exact in float64 regardless of summation
+# order (numpy's pairwise sum == SQL's sequential sum), and the triangle
+# area |(ta-ct)(v-va) - (ta-t)(cv-va)| is the identical IEEE-754
+# expression tree in both engines.  Ties on area break to the earlier
+# timestamp (np.argmax takes the FIRST max; ORDER BY area DESC, t ASC
+# mirrors it) — and tied areas are bit-identical ties, never near-ties.
+# --------------------------------------------------------------------------
+
+
+def _lttb_exact_oracle(n_out: int = 50) -> str:
+    """Generate the unrolled LTTB oracle: seed (first point), one chained
+    argmax CTE per interior bucket, then the last point; series with
+    n <= n_out pass through whole.  Bucket bounds replicate the kernel's
+    ``trunc(1 + i*(n-2)/(n_out-2))`` float arithmetic digit-for-digit."""
+    nb = n_out - 2  # interior buckets
+    head = f"""
+  WITH s AS (
+    SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  idx AS (
+    SELECT event_type, bucket_ts, value,
+           (epoch_us(bucket_ts)
+            - min(epoch_us(bucket_ts)) OVER (PARTITION BY event_type))
+             // 60000000 AS t,
+           row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM s
+  ),
+  big AS MATERIALIZED (SELECT * FROM idx WHERE n > {n_out}),
+  bnd AS MATERIALIZED (
+    SELECT g.event_type, g.n, r.i,
+           CASE WHEN r.i = {nb} THEN g.n - 1
+                ELSE CAST(trunc(1.0 + CAST(r.i * (g.n - 2) AS DOUBLE)
+                                 / {float(nb)}) AS BIGINT)
+           END AS b
+    FROM (SELECT DISTINCT event_type, n FROM big) g
+    CROSS JOIN (SELECT unnest(generate_series(0, {nb})) AS i) r
+  ),
+  cent AS MATERIALIZED (
+    SELECT nb.event_type, nb.i,
+           CAST(sum(b.t) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ct,
+           CAST(sum(b.value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
+    FROM (
+      SELECT lo.event_type, lo.i - 1 AS i, lo.b AS nlo,
+             CASE WHEN lo.i = {nb} THEN lo.n ELSE hi.b END AS nhi
+      FROM bnd lo LEFT JOIN bnd hi
+        ON hi.event_type = lo.event_type AND hi.i = lo.i + 1
+      WHERE lo.i >= 1
+    ) nb
+    JOIN big b ON b.event_type = nb.event_type
+              AND b.rn >= nb.nlo AND b.rn < nb.nhi
+    GROUP BY 1, 2
+  ),
+  sel0 AS MATERIALIZED (
+    SELECT event_type, CAST(t AS DOUBLE) AS ta, CAST(value AS DOUBLE) AS va
+    FROM big WHERE rn = 0
+  )"""
+    picks = []
+    for i in range(nb):
+        prev = "sel0" if i == 0 else f"pick{i - 1}"
+        picks.append(f""",
+  pick{i} AS MATERIALIZED (
+    SELECT event_type, bucket_ts, value,
+           CAST(t AS DOUBLE) AS ta, CAST(value AS DOUBLE) AS va
+    FROM (
+      SELECT b.event_type, b.bucket_ts, b.value, b.t,
+             row_number() OVER (
+               PARTITION BY b.event_type
+               ORDER BY abs((p.ta - c.ct) * (CAST(b.value AS DOUBLE) - p.va)
+                          - (p.ta - CAST(b.t AS DOUBLE)) * (c.cv - p.va))
+                          DESC,
+                        b.t ASC) AS rk
+      FROM big b
+      JOIN bnd lo ON lo.event_type = b.event_type AND lo.i = {i}
+      JOIN bnd hi ON hi.event_type = b.event_type AND hi.i = {i + 1}
+      JOIN {prev} p ON p.event_type = b.event_type
+      JOIN cent c ON c.event_type = b.event_type AND c.i = {i}
+      WHERE b.rn >= lo.b AND b.rn < hi.b
+    ) WHERE rk = 1
+  )""")
+    tail = [
+        f"\n  SELECT event_type, bucket_ts, value FROM idx WHERE n <= {n_out}",
+        "  SELECT event_type, bucket_ts, value FROM big WHERE rn = 0",
+        *(f"  SELECT event_type, bucket_ts, value FROM pick{i}" for i in range(nb)),
+        "  SELECT event_type, bucket_ts, value FROM big WHERE rn = n - 1",
+    ]
+    return head + "".join(picks) + "\n  UNION ALL\n".join(tail)
+
+
+@register("lttb_exact_events_1m_50", _lttb_exact_oracle(50))
+def lttb_exact_events_1m_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (operators/downsample.py) of the per-minute COUNT series per
+    event_type to 50 points, under the full driver value gate: the same
+    grouped-Arrow kernel as lttb_events_1m_50, but with hash-convention
+    inputs — integer counts as values and rebased minute indexes as
+    timestamps — so every centroid and triangle area is bit-identical to
+    the unrolled oracle's (see _lttb_exact_oracle).  One Exchange on the
+    series key; the rebase window shares it."""
+    from fischer_spark.operators.downsample import lttb_downsample
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = d.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("value"))
+    w = Window.partitionBy("event_type")
+    series = (
+        series.withColumn("_mn", F.min(F.unix_micros("bucket_ts")).over(w))
+        .withColumn("t", F.expr("(unix_micros(bucket_ts) - _mn) div 60000000"))
+        .drop("_mn")
+    )
+    out = lttb_downsample(series, ["event_type"], ts_col="t", val_col="value", n_out=50)
+    return out.select("event_type", "bucket_ts", "value")
+
+
+# --------------------------------------------------------------------------
 # O58 — deriv / predict_linear (operators/trend.py)
 # --------------------------------------------------------------------------
 

@@ -193,3 +193,45 @@ def test_m4_stays_jvm_side(spark):
     # shared by the sort, the window and the final aggregate
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2  # extents agg + (key, px)
+
+
+def test_lttb_exact_oracle_small_series_passthrough(spark, tmp_path):
+    """O111 — the unrolled LTTB oracle's n<=n_out passthrough branch,
+    which the driver testdata never exercises (every sf's series has
+    >50 minutes): a 20-minute series must come back whole from BOTH
+    engines, while a 120-minute series in the same table goes through
+    the 48 chained argmax CTEs — and the two engines must agree
+    bit-for-bit on every selected row."""
+    import duckdb
+    import pandas as pd
+
+    from fischer_spark.queries import get_oracles, get_queries
+    from tests.oracle_harness import compare
+
+    rng = random.Random(7)
+    rows = []
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    for minute in range(20):  # small series: kept whole
+        for _ in range(rng.randint(1, 3)):
+            rows.append(("tiny", base + pd.Timedelta(minutes=minute)))
+    for minute in range(120):  # big series: unrolled selection path
+        for _ in range(rng.randint(1, 9)):
+            rows.append(("busy", base + pd.Timedelta(minutes=2 * minute)))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts"])
+    # µs units: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    name = "lttb_exact_events_1m_50"
+    sdf = get_queries()[name](spark, str(tmp_path))
+    errs = compare(sdf, con, get_oracles()[name], name)
+    con.close()
+    assert not errs, "\n".join(errs)
+
+    out = sdf.toPandas()
+    assert (out.event_type == "tiny").sum() == 20  # whole series kept
+    assert (out.event_type == "busy").sum() == 50  # downsampled to n_out

@@ -386,7 +386,10 @@ def query_range(
     series, shape-preserving (value is replaced, row per step bucket):
     ``rate`` / ``increase`` (reset-aware counter semantics), ``delta``
     (gauge difference), ``ewma`` / ``holt`` (exponential smoothing;
-    ``fn_args`` forwards alpha / sf+tf) — or instant-reducing:
+    ``fn_args`` forwards alpha / sf+tf), ``quantile_over_time`` /
+    ``mad_over_time`` (exact trailing-window quantile / median absolute
+    deviation; ``fn_args`` forwards ``q`` and window width ``w`` in
+    buckets; all-codegen, no Arrow hop) — or instant-reducing:
     ``deriv`` / ``predict_linear`` (least-squares slope per series /
     extrapolation ``fn_args={'horizon_s': ...}`` seconds past the last
     served bucket; ONE row per series).  The transforms run on TIER
@@ -829,7 +832,8 @@ def subquery_range(
 
 
 _RANGE_FNS = (
-    "rate", "increase", "delta", "ewma", "holt", "deriv", "predict_linear"
+    "rate", "increase", "delta", "ewma", "holt", "deriv", "predict_linear",
+    "quantile_over_time", "mad_over_time",
 )
 
 
@@ -881,6 +885,20 @@ def _apply_range_fn(df, fn: str, fn_args: dict):
 
         out = gauge_delta(df, keys, ["bucket_ts"])
         return out.select(*cols, out["delta"].alias("value"))
+    if fn == "quantile_over_time":
+        # PromQL quantile_over_time(q, v[w·step]) — exact trailing-window
+        # quantile, whole-stage codegen (operators/overtime.py)
+        from fischer_spark.operators.overtime import quantile_over_time
+
+        q = float(fn_args.get("q", 0.5))
+        w = int(fn_args.get("w", 24))
+        out = quantile_over_time(df, keys, {"_q": q}, w=w)
+        return out.select(*cols, F.col("_q").alias("value"))
+    if fn == "mad_over_time":
+        from fischer_spark.operators.overtime import mad_over_time
+
+        out = mad_over_time(df, keys, w=int(fn_args.get("w", 24)))
+        return out.select(*cols, out["mad"].alias("value"))
     if fn == "ewma":
         from fischer_spark.operators.smooth import ewma
 

@@ -1,0 +1,104 @@
+"""PromQL ``*_over_time`` range functions along a series (O112).
+
+``quantile_over_time(q, v[w])`` — the exact φ-quantile of the trailing
+``w`` buckets per (series, bucket) — and ``mad_over_time`` (Prometheus'
+experimental median-absolute-deviation) share one mechanism: a trailing
+ROWS window collects the frame into an array, ``array_sort`` orders it,
+and the rank-lerp convention from quantile_exact_1h_events
+(``lo + (hi - lo) * (k - floor(k))``, ``k = (n-1)·q``) interpolates.
+Everything stays JVM-side (collect_list / array_sort / get are codegen
+expressions — no Arrow hop, unlike the smoothing kernels which genuinely
+need sequential state).
+
+Scale shape: ONE Exchange on the series key + one in-partition sort —
+identical to the z-score detector.  The array is frame-sized (w buckets,
+a constant), so memory per row is O(w), independent of series length;
+at the 100 TB design point these run on TIER rows (1h: 8.8k rows per
+series-year), never raw points.
+
+Hash-safety: run on exact-decimal bucket means (the holt_exact
+convention) and the sorted frame is bit-identical cross-engine; the
+lerp expression tree is spelled identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["frame_quantile", "quantile_over_time", "mad_over_time"]
+
+
+def frame_quantile(arr: Column, q: float) -> Column:
+    """Exact rank-lerp quantile of a SORTED array column: with
+    ``k = (size-1)·q``, returns ``arr[floor(k)] + (arr[ceil(k)] -
+    arr[floor(k)]) · (k - floor(k))`` (0-based).  The identical
+    expression evaluates in DuckDB as ``l[floor(k)+1] + (l[ceil(k)+1] -
+    l[floor(k)+1]) * (k - floor(k))`` (1-based lists)."""
+    k = (F.size(arr) - F.lit(1)).cast("double") * F.lit(q)
+    lo = F.get(arr, F.floor(k).cast("int"))
+    hi = F.get(arr, F.ceil(k).cast("int"))
+    return lo + (hi - lo) * (k - F.floor(k))
+
+
+def quantile_over_time(
+    df: DataFrame,
+    keys: list[str],
+    qs: dict[str, float],
+    w: int,
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """One output row per input row, adding ``n`` (frame size) and one
+    exact trailing-window quantile column per ``qs`` entry
+    (``{"p90": 0.9}`` → column ``p90``).  NULL samples are dropped first
+    (PromQL range vectors never contain staleness markers)."""
+    clean = df.na.drop(subset=[val_col])
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col(val_col)).over(win))
+    out = clean.withColumn("_arr", arr)
+    cols = [*keys, ts_col, val_col, F.size("_arr").cast("long").alias("n")]
+    cols += [frame_quantile(F.col("_arr"), q).alias(name) for name, q in qs.items()]
+    return out.select(*cols)
+
+
+def mad_over_time(
+    df: DataFrame,
+    keys: list[str],
+    w: int,
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Trailing-window median absolute deviation per (series, bucket):
+    ``median(|x_i - median(frame)|)`` with both medians the exact
+    rank-lerp q=0.5 — the robust dispersion PromQL exposes as
+    ``mad_over_time`` (and the detector family's MAD, windowed along
+    time instead of across a seasonal slot).  Same single-Exchange
+    shape; the deviation array is rebuilt frame-side with transform()
+    (still codegen), so no second window pass is needed."""
+    clean = df.na.drop(subset=[val_col])
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    out = clean.withColumn(
+        "_arr", F.array_sort(F.collect_list(F.col(val_col)).over(win))
+    )
+    med = frame_quantile(F.col("_arr"), 0.5)
+    out = out.withColumn("_med", med)
+    dev = F.array_sort(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - F.col("_med")))
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        val_col,
+        F.size("_arr").cast("long").alias("n"),
+        F.col("_med").alias("med"),
+        frame_quantile(dev, 0.5).alias("mad"),
+    )

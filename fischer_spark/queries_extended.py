@@ -913,6 +913,111 @@ def holt_exact_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O112 — PromQL *_over_time range functions (operators/overtime.py):
+# quantile_over_time / mad_over_time as trailing-window array ops, fully
+# JVM-side (collect_list + array_sort + the rank-lerp convention), under
+# full SQL oracles on exact-decimal hourly means.
+# --------------------------------------------------------------------------
+
+_HOURLY_EXACT_MEAN_SQL = """
+  s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  w AS (
+    SELECT event_type, bucket_ts, value,
+           list_sort(list(value) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS arr
+    FROM s
+  )"""
+
+
+def _lerp_sql(arr: str, q: str) -> str:
+    """The frame_quantile expression in DuckDB list form (1-based) —
+    textually mirrors operators/overtime.frame_quantile."""
+    k = f"CAST(len({arr}) - 1 AS DOUBLE) * {q}"
+    lo = f"{arr}[CAST(floor({k}) AS BIGINT) + 1]"
+    hi = f"{arr}[CAST(ceil({k}) AS BIGINT) + 1]"
+    return f"{lo} + ({hi} - {lo}) * ({k} - floor({k}))"
+
+
+def _hourly_exact_mean_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scan_testdata(spark, sf_dir, "events")
+    return d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double")
+        ).alias("value")
+    )
+
+
+@register(
+    "quantile_over_time_events",
+    f"""
+  WITH {_HOURLY_EXACT_MEAN_SQL}
+  SELECT event_type, bucket_ts, value,
+         CAST(len(arr) AS BIGINT) AS n,
+         {_lerp_sql('arr', '0.5')} AS p50,
+         {_lerp_sql('arr', '0.9')} AS p90
+  FROM w
+""",
+)
+def quantile_over_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile_over_time(q, v[24h]) on the hourly series per
+    event_type: exact trailing-24-bucket p50/p90 per bucket, entirely
+    whole-stage-codegen (no Arrow hop — the frame array is a window
+    collect_list, the quantile a rank-lerp over array_sort).  One
+    Exchange on the series key shared by the frame window.  The
+    along-series complement of quantile_exact_1h_events (within-bucket)
+    and vector_quantile (across-series)."""
+    from fischer_spark.operators.overtime import quantile_over_time
+
+    series = _hourly_exact_mean_series(spark, sf_dir)
+    return quantile_over_time(
+        series, ["event_type"], {"p50": 0.5, "p90": 0.9}, w=24
+    )
+
+
+@register(
+    "mad_over_time_events",
+    f"""
+  WITH {_HOURLY_EXACT_MEAN_SQL},
+  m AS (
+    SELECT event_type, bucket_ts, value, arr,
+           {_lerp_sql('arr', '0.5')} AS med
+    FROM w
+  ),
+  d AS (
+    SELECT event_type, bucket_ts, value, arr, med,
+           list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+    FROM m
+  )
+  SELECT event_type, bucket_ts, value,
+         CAST(len(arr) AS BIGINT) AS n,
+         med,
+         {_lerp_sql('dev', '0.5')} AS mad
+  FROM d
+""",
+)
+def mad_over_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL (experimental) mad_over_time(v[24h]): trailing-window
+    median absolute deviation per (series, bucket) — the robust
+    dispersion for spike detection on gauge series, windowed along time
+    (robust_zscore_events is the same statistic across a seasonal
+    slot).  The deviation array is rebuilt frame-side with transform()
+    so the whole thing stays one window pass, all codegen."""
+    from fischer_spark.operators.overtime import mad_over_time
+
+    series = _hourly_exact_mean_series(spark, sf_dir)
+    return mad_over_time(series, ["event_type"], w=24)
+
+
+# --------------------------------------------------------------------------
 # O65 — robust (median/MAD) seasonal deviation score
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""O112 — PromQL *_over_time range functions (operators/overtime.py):
+hand-computed expectations, plan shape (all-codegen, one Exchange), and
+query_range(fn=...) wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fischer_spark.operators.overtime import (
+    mad_over_time,
+    quantile_over_time,
+)
+
+
+def _series_df(spark, vals, key="a"):
+    rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+
+
+def _ref_q(frame, q):
+    s = np.sort(np.asarray(frame, dtype=float))
+    k = (len(s) - 1) * q
+    lo, hi = s[int(np.floor(k))], s[int(np.ceil(k))]
+    return lo + (hi - lo) * (k - np.floor(k))
+
+
+def test_quantile_over_time_hand_computed(spark):
+    vals = [5.0, 1.0, 3.0, 9.0, 7.0, 2.0]
+    out = (
+        quantile_over_time(
+            _series_df(spark, vals), ["k"], {"p50": 0.5, "p90": 0.9}, w=3,
+            ts_col="bucket_ts",
+        )
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    for i, r in enumerate(out):
+        frame = vals[max(0, i - 2): i + 1]
+        assert r["n"] == len(frame)
+        assert r["p50"] == pytest.approx(_ref_q(frame, 0.5), abs=1e-12)
+        assert r["p90"] == pytest.approx(_ref_q(frame, 0.9), abs=1e-12)
+
+
+def test_mad_over_time_hand_computed(spark):
+    vals = [1.0, 1.0, 10.0, 2.0, 3.0]
+    out = (
+        mad_over_time(_series_df(spark, vals), ["k"], w=3, ts_col="bucket_ts")
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    for i, r in enumerate(out):
+        frame = np.array(vals[max(0, i - 2): i + 1])
+        med = _ref_q(frame, 0.5)
+        assert r["med"] == pytest.approx(med, abs=1e-12)
+        assert r["mad"] == pytest.approx(_ref_q(np.abs(frame - med), 0.5), abs=1e-12)
+
+
+def test_quantile_over_time_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 3.0)],
+        "k string, bucket_ts long, value double",
+    )
+    out = quantile_over_time(df, ["k"], {"p50": 0.5}, w=2, ts_col="bucket_ts")
+    rows = {r["bucket_ts"]: r for r in out.collect()}
+    assert set(rows) == {0, 2}          # NULL sample dropped, not emitted
+    assert rows[2]["n"] == 2            # frame spans the gap (row frame)
+    assert rows[2]["p50"] == pytest.approx(2.0)
+
+
+def test_overtime_plan_all_codegen_single_exchange(spark):
+    """Both *_over_time kernels must stay JVM-side: no Arrow/Python eval
+    node, exactly one Exchange (the series key) — this is the contract
+    that separates them from the smoothing kernels, which genuinely need
+    sequential state."""
+    from tests.test_plans import plan_of
+
+    df = _series_df(spark, range(10))
+    for op in (
+        quantile_over_time(df, ["k"], {"p50": 0.5}, w=4, ts_col="bucket_ts"),
+        mad_over_time(df, ["k"], w=4, ts_col="bucket_ts"),
+    ):
+        p = plan_of(op)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        assert p.count(") Exchange") == 1
+
+
+def test_query_range_fn_quantile_and_mad_wiring(spark):
+    """query_range-style fn application: _apply_range_fn routes
+    quantile_over_time/mad_over_time and replaces value, preserving the
+    (domain, metric, tag, bucket_ts) shape."""
+    from fischer_spark.api import _apply_range_fn
+
+    rows = [("d", "m", "t", i, float(v)) for i, v in enumerate([5, 1, 3, 9])]
+    df = spark.createDataFrame(
+        rows, "domain string, metric string, tag string, bucket_ts long, value double"
+    )
+    got = (
+        _apply_range_fn(df, "quantile_over_time", {"q": 0.5, "w": 2})
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    assert [r["value"] for r in got] == pytest.approx([5.0, 3.0, 2.0, 6.0])
+    mad = _apply_range_fn(df, "mad_over_time", {"w": 2}).orderBy("bucket_ts").collect()
+    assert mad[0]["value"] == pytest.approx(0.0)
+    assert mad[1]["value"] == pytest.approx(2.0)  # frame [5,1]: med 3, devs [2,2]

@@ -962,6 +962,77 @@ def rare_token_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O113 — corpus unigram-LM log-probability quality signal: the
+# public-knowledge analog of CCNet's LM-perplexity filter (Wenzek et
+# al. 2020) with the corpus itself as the unigram model — documents of
+# improbable tokens score low.  Hash-safety is the interesting part:
+# per-token log10(c/C) is bit-identical cross-engine (probed: Spark's
+# Math.log10 == DuckDB's std log10 on every distinct count rational in
+# the gate data, pinned by test_unigram_log10_bit_parity), and the
+# per-doc SUM of logprobs — order-nondeterministic as a plain double
+# aggregate — is made deterministic by folding the SORTED logprob list
+# left-to-right on BOTH sides (F.aggregate(array_sort(...), 0.0, +) ==
+# list_reduce(list_sort(...), +); 0.0 + x == x exactly for the strictly
+# negative logprobs, so the missing init in list_reduce is immaterial).
+# --------------------------------------------------------------------------
+
+@register(
+    "unigram_logprob_documents",
+    f"""
+  WITH toks AS (
+    SELECT doc_id, unnest({_TOK_DUCK}) AS tok
+    FROM documents WHERE trim(text) <> ''
+  ),
+  cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+  tot AS (SELECT sum(c) AS s FROM cnt),
+  lg AS (
+    SELECT tok, log10(CAST(c AS DOUBLE)
+                      / CAST((SELECT s FROM tot) AS DOUBLE)) AS lg
+    FROM cnt
+  )
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_sort(list(lg.lg)), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mean_logprob10
+  FROM toks t JOIN lg USING (tok)
+  GROUP BY t.doc_id
+""",
+)
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus' own
+    unigram distribution — the LM-quality-filter signal (low = the doc's
+    vocabulary is improbable for this corpus).  Two-pass global-model
+    shape like rare_token_ratio_documents: unigram counts are
+    vocabulary-sized (partial-aggregated), joined back token-keyed; the
+    per-doc fold is bounded by document length.  Never collects; the
+    only driver-side value is none."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("tok"))
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("s"))
+    lg = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log10(F.col("c").cast("double") / F.col("s").cast("double")).alias("lg"),
+    )
+    j = toks.join(lg, "tok")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_sort(F.collect_list("lg")).alias("_arr"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.aggregate("_arr", F.lit(0.0), lambda a, x: a + x)
+            / F.col("n_tokens").cast("double")
+        ).alias("mean_logprob10"),
+    )
+
+
+# --------------------------------------------------------------------------
 # O81 — segment-level exact dedup (CCNet-style paragraph dedup, fixed
 # 16-token segments since the synthetic corpus has no newlines)
 # --------------------------------------------------------------------------

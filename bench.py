@@ -117,6 +117,11 @@ def main() -> None:
         "hist_fraction_1h_events",
         "holt_exact_events_1h",
         "corpus_curation_documents",
+        "lttb_exact_events_1m_50",
+        "quantile_over_time_events",
+        "mad_over_time_events",
+        "unigram_logprob_documents",
+        "rate_extrapolated_events",
     ]
     timings: dict[str, float] = {}
 

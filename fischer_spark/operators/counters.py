@@ -9,11 +9,13 @@ since the previous sample is the raw value itself (reset assumed to
 zero).  ``delta`` is the gauge form — plain signed difference, no reset
 logic.
 
-Unlike PromQL's range-vector ``increase()`` there is no window-boundary
-extrapolation: these are exact per-adjacent-sample transforms whose sum
-over any window IS the window increase — the right primitive for a
-batch engine (extrapolation is a presentation-layer estimate, not a
-stored fact).
+Unlike PromQL's range-vector ``increase()`` the per-sample transforms
+do no window-boundary extrapolation: they are exact adjacent-sample
+transforms whose sum over any window IS the window increase — the right
+primitive for a batch engine (extrapolation is a presentation-layer
+estimate, not a stored fact).  ``extrapolated_rate`` below is the
+explicit opt-in that replays the REAL Prometheus estimate per window
+for users who need numbers matching their Prometheus graphs.
 
 Scale shape: one window function per series key — a single hash
 Exchange on the key + an in-partition sort, the same shuffle shape as
@@ -25,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["change_flags", "counter_increase", "counter_rate", "gauge_delta"]
+__all__ = [
+    "change_flags",
+    "counter_increase",
+    "counter_rate",
+    "extrapolated_rate",
+    "gauge_delta",
+    "instant_transforms",
+]
 
 
 def _w(key_cols: list[str], order_cols: list[str]) -> Window:
@@ -154,3 +163,110 @@ def instant_transforms(
         "irate",
         F.when(prev_v.isNotNull() & (dt_us > 0), inc / dt_s),
     ).withColumn("idelta", F.col(val_col) - prev_v)
+
+
+def extrapolated_rate(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    window_s: int,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    counter: bool = True,
+) -> DataFrame:
+    """PromQL ``rate()`` / ``increase()`` with the REAL Prometheus
+    window-boundary extrapolation (public semantics, promql/functions.go
+    ``extrapolatedRate``), per (series key, window bucket).  This is the
+    presentation-layer estimate the module docstring's exact transforms
+    deliberately omit — offered here as an explicit opt-in so a PromQL
+    user gets numbers that match their Prometheus graphs:
+
+      raw        = reset-aware increase over the samples INSIDE the
+                   window (first in-window sample is the base)
+      sampled    = t_last - t_first (seconds)
+      avg_iv     = sampled / (n - 1);   thresh = avg_iv * 1.1
+      d_start    = t_first - window_start, snapped to avg_iv/2 when it
+                   exceeds thresh; counters additionally cap it at the
+                   time-to-zero  sampled * (v_first / raw)  so the
+                   extrapolated increase never implies a negative start
+      d_end      = window_end - t_last, snapped the same way
+      increase   = raw * ((sampled + d_start + d_end) / sampled)
+      rate       = raw * ((sampled + d_start + d_end) / sampled
+                          / window_s)          -- Prometheus op order
+
+    Windows with fewer than two samples (or zero sampled interval —
+    duplicate-only timestamps) yield no row, exactly like PromQL.
+
+    Expects ONE sample per (key, ts) — collapse duplicates first so
+    first/last lookups are deterministic.  Float ops run in the pinned
+    order above (integer microseconds until the documented divisions),
+    so a SQL oracle replaying the same order matches bit-for-bit.
+
+    Scale shape: one lag window partitioned by (key, bucket) + a
+    groupBy on the same columns — AQE reuses the single hash Exchange;
+    no Python, no second shuffle."""
+    from fischer_spark.functions.time import is_ntz
+
+    grp = [*key_cols, bucket_col]
+    w = Window.partitionBy(*grp).orderBy(ts_col)
+    c = F.col(ts_col).cast("timestamp") if is_ntz(df, ts_col) else F.col(ts_col)
+    us = F.unix_micros(c)
+    prev_v = F.lag(val_col).over(w)
+    inc = (
+        F.when(F.col(val_col) >= prev_v, F.col(val_col) - prev_v).otherwise(
+            F.col(val_col)
+        )
+        if counter
+        else F.col(val_col) - prev_v
+    )
+    bc = (
+        F.col(bucket_col).cast("timestamp")
+        if is_ntz(df, bucket_col)
+        else F.col(bucket_col)
+    )
+    per = df.select(
+        *grp,
+        us.alias("_us"),
+        F.col(val_col).alias("_v"),
+        F.when(prev_v.isNotNull(), inc).alias("_inc"),
+        F.unix_micros(bc).alias("_bus"),
+    )
+    g = per.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_inc").alias("raw"),
+        F.min("_us").alias("_us_first"),
+        F.max("_us").alias("_us_last"),
+        F.min_by("_v", "_us").alias("_v_first"),
+        F.min("_bus").alias("_bus0"),
+    )
+    g = g.where((F.col("n") >= 2) & (F.col("_us_last") > F.col("_us_first")))
+    sampled = (F.col("_us_last") - F.col("_us_first")).cast("double") / F.lit(1e6)
+    avg_iv = sampled / (F.col("n") - F.lit(1)).cast("double")
+    thresh = avg_iv * F.lit(1.1)
+    d_start_raw = (F.col("_us_first") - F.col("_bus0")).cast("double") / F.lit(1e6)
+    d_end_raw = (
+        F.col("_bus0") + F.lit(window_s * 1_000_000) - F.col("_us_last")
+    ).cast("double") / F.lit(1e6)
+    d_start = F.when(d_start_raw >= thresh, avg_iv / F.lit(2.0)).otherwise(
+        d_start_raw
+    )
+    if counter:
+        d_zero = sampled * (
+            F.col("_v_first").cast("double") / F.col("raw").cast("double")
+        )
+        d_start = F.when(
+            (F.col("raw") > 0) & (F.col("_v_first") >= 0),
+            F.least(d_start, d_zero),
+        ).otherwise(d_start)
+    d_end = F.when(d_end_raw >= thresh, avg_iv / F.lit(2.0)).otherwise(d_end_raw)
+    factor = (sampled + d_start + d_end) / sampled
+    return g.select(
+        *grp,
+        "n",
+        "raw",
+        (F.col("raw").cast("double") * factor).alias("increase_ext"),
+        (
+            F.col("raw").cast("double")
+            * (factor / F.lit(float(window_s)))
+        ).alias("rate_ext"),
+    )

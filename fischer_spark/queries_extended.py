@@ -2238,3 +2238,122 @@ def share_of_type_right_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, op="div", on=("domain",),
         carry=("domain", "metric", "tag"), group="right",
     )
+
+
+# --------------------------------------------------------------------------
+# O114 — PromQL rate()/increase() with REAL window-boundary extrapolation
+# (promql/functions.go extrapolatedRate, public semantics).  The exact
+# per-sample transforms above deliberately skip extrapolation (it is a
+# presentation-layer estimate); this is the explicit opt-in that matches
+# what a Prometheus graph shows.  Synthesized mod-1000 counter, hourly
+# windows, every double op in a pinned order shared with the oracle.
+# --------------------------------------------------------------------------
+
+@register(
+    "rate_extrapolated_events",
+    """
+  WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(floor(abs(value) * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) % 1000 AS counter
+    FROM events
+  ),
+  one AS (
+    SELECT user_id, ts, counter FROM (
+      SELECT user_id, ts, counter,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM c) WHERE rn = 1
+  ),
+  s AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket_ts, counter,
+           epoch_us(ts) AS us,
+           epoch_us(date_trunc('hour', ts)) AS bus,
+           lag(counter) OVER w AS pv
+    FROM one
+    WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts)
+  ),
+  g AS (
+    SELECT user_id, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pv IS NULL THEN NULL
+                         WHEN counter >= pv THEN counter - pv
+                         ELSE counter END) AS BIGINT) AS raw,
+           min(us) AS us_first, max(us) AS us_last,
+           arg_min(counter, us) AS v_first,
+           min(bus) AS bus0
+    FROM s GROUP BY 1, 2
+  ),
+  e AS (
+    SELECT user_id, bucket_ts, n, raw,
+           CAST(us_last - us_first AS DOUBLE) / 1000000.0 AS sampled,
+           CAST(us_first - bus0 AS DOUBLE) / 1000000.0 AS d_start_raw,
+           CAST(bus0 + 3600000000 - us_last AS DOUBLE) / 1000000.0 AS d_end_raw,
+           v_first
+    FROM g WHERE n >= 2 AND us_last > us_first
+  ),
+  t AS (
+    SELECT *, sampled / CAST(n - 1 AS DOUBLE) AS avg_iv,
+           (sampled / CAST(n - 1 AS DOUBLE)) * 1.1 AS thresh
+    FROM e
+  ),
+  d AS (
+    SELECT user_id, bucket_ts, n, raw, sampled,
+           CASE WHEN raw > 0 AND v_first >= 0
+                THEN least(
+                  CASE WHEN d_start_raw >= thresh THEN avg_iv / 2.0
+                       ELSE d_start_raw END,
+                  sampled * (CAST(v_first AS DOUBLE) / CAST(raw AS DOUBLE)))
+                ELSE CASE WHEN d_start_raw >= thresh THEN avg_iv / 2.0
+                          ELSE d_start_raw END END AS d_start,
+           CASE WHEN d_end_raw >= thresh THEN avg_iv / 2.0
+                ELSE d_end_raw END AS d_end
+    FROM t
+  )
+  SELECT user_id, bucket_ts, n, raw,
+         CAST(raw AS DOUBLE) * ((sampled + d_start + d_end) / sampled)
+           AS increase_ext,
+         CAST(raw AS DOUBLE) * (((sampled + d_start + d_end) / sampled)
+                                / 3600.0) AS rate_ext
+  FROM d
+""",
+)
+def rate_extrapolated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate(counter[1h])`` / ``increase(counter[1h])`` with the
+    genuine Prometheus boundary extrapolation (O114,
+    operators/counters.py extrapolated_rate): per (user, hour), the
+    reset-aware in-window increase scaled by
+    ``(sampled + d_start + d_end) / sampled`` with the average-interval
+    snap rule and the counter time-to-zero cap.  Hourly windows over the
+    synthesized mod-1000 counter (one deterministic sample per (user,
+    ts): the max-event_id row — PromQL series have unique timestamps).
+    Integer microseconds until the pinned double divisions, so the
+    oracle replays the identical IEEE754 op sequence.  Scale shape: the
+    in-bucket lag window and the groupBy hash on the same (user, bucket)
+    columns — one Exchange serves both."""
+    from fischer_spark.operators.counters import extrapolated_rate
+
+    d = scan_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = F.floor(F.abs(F.col("value")) * 100).cast("long")
+    c = d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(step).over(w) % 1000).alias("counter"),
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    one = (
+        c.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "counter")
+    )
+    b = one.withColumn("bucket_ts", F.date_trunc("hour", "ts"))
+    return extrapolated_rate(
+        b, ["user_id"], "bucket_ts", 3600, ts_col="ts", val_col="counter"
+    )

@@ -85,3 +85,72 @@ def test_instant_transforms_irate_idelta(spark):
     assert out[2] == (3.0, 6.0)
     assert out[3] == (8.0, -12.0)
     assert out[4] == (None, None)
+
+
+# --------------------------------------------------------------------------
+# extrapolated_rate (O114): real PromQL extrapolatedRate semantics,
+# hand-computed per the public promql/functions.go algorithm.
+# --------------------------------------------------------------------------
+
+_B0 = dt.datetime(2024, 1, 1)  # hourly bucket start, window_s = 3600
+
+
+def _xr_fixture(spark, rows):
+    df = spark.createDataFrame(
+        [(k, _ts(s), float(v)) for k, s, v in rows],
+        "k: string, ts: timestamp, value: double",
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("bucket_ts", F.date_trunc("hour", "ts"))
+
+
+def _xr(spark, rows, **kw):
+    from fischer_spark.operators.counters import extrapolated_rate
+
+    out = extrapolated_rate(
+        _xr_fixture(spark, rows), ["k"], "bucket_ts", 3600, **kw
+    ).collect()
+    return {r["k"]: r for r in out}
+
+
+def test_extrapolated_rate_no_snap_with_zero_cap(spark):
+    # samples at 600/1800/3000 s: boundaries within thresh -> raw
+    # durations kept, but the counter time-to-zero cap bites on start:
+    # d_zero = 2400 * (10/60) = 400 < 600.
+    r = _xr(spark, [("a", 600, 10), ("a", 1800, 40), ("a", 3000, 70)])["a"]
+    assert r["n"] == 3 and r["raw"] == 60.0
+    assert r["increase_ext"] == 60.0 * ((2400.0 + 400.0 + 600.0) / 2400.0)  # 85.0
+    assert r["rate_ext"] == 60.0 * (((2400.0 + 400.0 + 600.0) / 2400.0) / 3600.0)
+
+
+def test_extrapolated_rate_snap_to_half_interval(spark):
+    # bunched mid-window: both boundary gaps exceed 1.1*avg_iv -> snap to
+    # avg_iv/2 = 5 s; v_first = 0 makes the zero-cap pin d_start to 0.
+    r = _xr(spark, [("b", 1700, 0), ("b", 1710, 5), ("b", 1720, 10)])["b"]
+    assert r["raw"] == 10.0
+    assert r["increase_ext"] == 10.0 * ((20.0 + 0.0 + 5.0) / 20.0)  # 12.5
+
+
+def test_extrapolated_rate_reset_in_window(spark):
+    # reset 100 -> 20: raw = 20 (counter restarted), and the zero-cap
+    # uses v_first=100 (d_zero = 500 > d_start=100, no cap).
+    r = _xr(spark, [("c", 100, 100), ("c", 200, 20)])["c"]
+    assert r["raw"] == 20.0
+    assert r["increase_ext"] == 20.0 * ((100.0 + 100.0 + 50.0) / 100.0)  # 50.0
+
+
+def test_extrapolated_rate_promql_empty_cases(spark):
+    # single sample and zero sampled interval yield NO row (PromQL).
+    out = _xr(
+        spark,
+        [("solo", 100, 5), ("dup", 200, 1), ("dup", 200, 2)],
+    )
+    assert out == {}
+
+
+def test_extrapolated_rate_gauge_mode(spark):
+    # counter=False (PromQL delta()): signed raw, no zero-cap.
+    r = _xr(spark, [("g", 0, 10), ("g", 1200, 4)], counter=False)["g"]
+    assert r["raw"] == -6.0
+    assert r["increase_ext"] == -6.0 * ((1200.0 + 0.0 + 600.0) / 1200.0)  # -9.0

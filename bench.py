@@ -122,6 +122,7 @@ def main() -> None:
         "mad_over_time_events",
         "unigram_logprob_documents",
         "rate_extrapolated_events",
+        "iqr_outliers_events",
     ]
     timings: dict[str, float] = {}
 

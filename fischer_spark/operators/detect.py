@@ -500,3 +500,51 @@ def alert_for_intervals(
             "starts_at", "fires_at", "ends_at", "n_buckets",
         )
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group (Tukey 1977 box-plot rule):
+    within each ``keys`` partition, the exact rank-lerp q1/q3 of
+    ``val_col`` (frame_quantile — the quantile_exact convention) define
+    fences ``[q1 - k·iqr, q3 + k·iqr]``; rows outside are flagged.  The
+    non-parametric complement to the z-score detector: no normality
+    assumption, breakdown point 25%, the standard first-look rule for
+    skewed rate series.
+
+    All codegen: one partition-frame collect_list + array_sort, the
+    lerp expression, and per-row comparisons — no Arrow hop, ONE
+    Exchange on ``keys``.  Frame memory is O(group size); run it on
+    bounded groups (a day of hourly buckets = 24 values), never raw
+    points.  NULL samples are dropped first (the hist_states
+    convention).  Doubles appear only in the pinned lerp/fence
+    expressions, so a SQL oracle replaying them matches bit-for-bit."""
+    from fischer_spark.operators.overtime import frame_quantile
+
+    clean = df.na.drop(subset=[val_col])
+    win = Window.partitionBy(*keys)
+    arr = F.array_sort(F.collect_list(F.col(val_col)).over(win))
+    out = clean.withColumn("_arr", arr)
+    q1 = frame_quantile(F.col("_arr"), 0.25)
+    q3 = frame_quantile(F.col("_arr"), 0.75)
+    iqr = q3 - q1
+    lo = q1 - F.lit(k) * iqr
+    hi = q3 + F.lit(k) * iqr
+    v = F.col(val_col).cast("double")
+    return out.select(
+        *keys,
+        ts_col,
+        val_col,
+        F.size("_arr").cast("long").alias("n"),
+        q1.alias("q1"),
+        q3.alias("q3"),
+        iqr.alias("iqr"),
+        lo.alias("lo_fence"),
+        hi.alias("hi_fence"),
+        F.when((v < lo) | (v > hi), F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
+    )

@@ -2357,3 +2357,62 @@ def rate_extrapolated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extrapolated_rate(
         b, ["user_id"], "bucket_ts", 3600, ts_col="ts", val_col="counter"
     )
+
+
+# --------------------------------------------------------------------------
+# O115 — Tukey-fence IQR outliers (Tukey 1977 box-plot rule): the
+# non-parametric member of the detector family.  Hourly event counts per
+# (event_type, day); exact rank-lerp q1/q3 over the day's 24 values;
+# fences at 1.5*IQR.  Integer values keep the lerp/fence doubles on the
+# pinned expression tree both engines.
+# --------------------------------------------------------------------------
+
+@register(
+    "iqr_outliers_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type, date_trunc('day', ts) AS day_ts,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS value
+    FROM events GROUP BY 1, 2, 3
+  ),
+  g AS (
+    SELECT event_type, day_ts, list_sort(list(value)) AS arr
+    FROM pts GROUP BY 1, 2
+  ),
+  q AS (
+    SELECT event_type, day_ts, CAST(len(arr) AS BIGINT) AS n,
+           {_lerp_sql('arr', '0.25')} AS q1,
+           {_lerp_sql('arr', '0.75')} AS q3
+    FROM g
+  )
+  SELECT p.event_type, p.day_ts, p.bucket_ts, p.value, q.n,
+         q.q1, q.q3, q.q3 - q.q1 AS iqr,
+         q.q1 - 1.5 * (q.q3 - q.q1) AS lo_fence,
+         q.q3 + 1.5 * (q.q3 - q.q1) AS hi_fence,
+         CASE WHEN CAST(p.value AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR CAST(p.value AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM pts p JOIN q USING (event_type, day_ts)
+""",
+)
+def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence IQR outliers (O115, operators/detect.py
+    iqr_outliers): hourly event-count series flagged against the exact
+    q1/q3 fences of their own (event_type, day) — the non-parametric
+    complement to zscore_events_1h (no normality assumption; robust to
+    the skew hot domains put in rate series).  Values are exact BIGINT
+    counts, so the only doubles are the shared lerp/fence expressions —
+    bit-exact cross-engine.  Scale shape: one Exchange on (series, day),
+    partition-frame collect_list over 24 values, all codegen (the Spark
+    side fuses the quantile into the same window pass; the oracle
+    spells it as a grouped join — same rows either way)."""
+    from fischer_spark.operators.detect import iqr_outliers
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("value"))
+    return iqr_outliers(pts, ["event_type", "day_ts"], ts_col="bucket_ts")

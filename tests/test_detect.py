@@ -226,3 +226,35 @@ def test_alert_for_prometheus_convention(spark):
 
     with pytest.raises(ValueError, match="unknown for-convention"):
         alert_for_intervals(df, cond, tier="1h", for_s=0, convention="grafana")
+
+
+# --------------------------------------------------------------------------
+# iqr_outliers (O115): Tukey fences, hand-computed.
+# --------------------------------------------------------------------------
+
+def test_iqr_outliers_hand_computed(spark):
+    import datetime as dt
+
+    from fischer_spark.operators.detect import iqr_outliers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # group "a": [1,2,3,4,100] -> q1=2, q3=4, fences [-1, 7]
+        *[("a", t0 + dt.timedelta(hours=i), float(v))
+          for i, v in enumerate([1, 2, 3, 4, 100])],
+        # group "b": [0,10,20,1000] -> q1=7.5, q3=265, hi fence 651.25
+        *[("b", t0 + dt.timedelta(hours=i), float(v))
+          for i, v in enumerate([0, 10, 20, 1000])],
+        ("b", t0 + dt.timedelta(hours=9), None),  # NULL dropped first
+    ]
+    df = spark.createDataFrame(rows, "k: string, bucket_ts: timestamp, value: double")
+    out = iqr_outliers(df, ["k"], ts_col="bucket_ts").collect()
+    a = {r["value"]: r for r in out if r["k"] == "a"}
+    assert a[1.0]["q1"] == 2.0 and a[1.0]["q3"] == 4.0
+    assert a[1.0]["lo_fence"] == -1.0 and a[1.0]["hi_fence"] == 7.0
+    assert [a[v]["is_outlier"] for v in (1.0, 2.0, 3.0, 4.0, 100.0)] == [0, 0, 0, 0, 1]
+    b = {r["value"]: r for r in out if r["k"] == "b"}
+    assert len(b) == 4  # NULL row dropped
+    assert b[0.0]["q1"] == 7.5
+    assert b[0.0]["q3"] == 20.0 + (1000.0 - 20.0) * 0.25  # 265.0
+    assert b[1000.0]["is_outlier"] == 1 and b[20.0]["is_outlier"] == 0

@@ -123,6 +123,7 @@ def main() -> None:
         "unigram_logprob_documents",
         "rate_extrapolated_events",
         "iqr_outliers_events",
+        "scalar_fns_events",
     ]
     timings: dict[str, float] = {}
 

@@ -2416,3 +2416,62 @@ def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket_ts"),
     ).agg(F.count(F.lit(1)).alias("value"))
     return iqr_outliers(pts, ["event_type", "day_ts"], ts_col="bucket_ts")
+
+
+# --------------------------------------------------------------------------
+# O116 — PromQL scalar vector functions (functions/scalars.py): clamp /
+# clamp_min / clamp_max / sgn / round(v, to_nearest) over the hourly
+# exact-decimal mean series.  Pure codegen expressions, zero shuffles
+# past the rollup; the round inverse literal is computed once in Python
+# so both engines replay the identical three float ops.
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_fns_events",
+    f"""
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type, bucket_ts, value,
+         greatest(50.0, least(200.0, value)) AS clamped,
+         greatest(100.0, value) AS clamped_min,
+         least(100.0, value) AS clamped_max,
+         CASE WHEN value - 100.0 > 0 THEN 1.0
+              WHEN value - 100.0 < 0 THEN -1.0
+              ELSE 0.0 END AS sign_dev,
+         CAST(floor(value * 2.0 + 0.5) AS DOUBLE) / 2.0 AS rounded_half
+  FROM s
+""",
+)
+def scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL scalar functions (O116, functions/scalars.py): clamp to
+    [50, 200], one-sided clamps at 100, sgn of the deviation from 100,
+    and round to the nearest 0.5 — each the public promql/functions.go
+    definition as a pure codegen column expression over the hourly
+    exact-decimal mean series (no shuffle beyond the rollup's own).
+    clamp picks one of two bit-identical doubles (greatest/least);
+    round replays floor(v*inv + 0.5)/inv with the Python-computed
+    inverse literal — deterministic both engines."""
+    from fischer_spark.functions.scalars import (
+        clamp,
+        clamp_max,
+        clamp_min,
+        round_to,
+        sgn,
+    )
+
+    series = _hourly_exact_mean_series(spark, sf_dir)
+    v = F.col("value")
+    return series.select(
+        "event_type",
+        "bucket_ts",
+        "value",
+        clamp(v, 50.0, 200.0).alias("clamped"),
+        clamp_min(v, 100.0).alias("clamped_min"),
+        clamp_max(v, 100.0).alias("clamped_max"),
+        sgn(v - F.lit(100.0)).alias("sign_dev"),
+        round_to(v, 0.5).alias("rounded_half"),
+    )

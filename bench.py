@@ -124,6 +124,7 @@ def main() -> None:
         "rate_extrapolated_events",
         "iqr_outliers_events",
         "scalar_fns_events",
+        "doc_chunks_documents",
     ]
     timings: dict[str, float] = {}
 

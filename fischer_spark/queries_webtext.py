@@ -1356,3 +1356,120 @@ def corpus_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     curate_documents).  The flagship 'user runs the whole filter stack'
     query for the training-data pipeline surface."""
     return curate_documents(scan_testdata(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# O117 — training context-window chunking: every document split into
+# tokenizer-ready windows of CHUNK_TOKENS tokens with CHUNK_STRIDE
+# overlap (the standard pretraining sliding-window preprocessing; the
+# overlap preserves cross-boundary context, cf. the public GPT-2/BERT
+# data pipelines).  Narrow op: explode is per-row, NO shuffle — each
+# doc's chunks materialize on the partition that holds the doc, memory
+# bounded by doc length, so the shape is unchanged at 10^12 docs.
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    d: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, tok_start, n_tokens_chunk, n_tokens_doc,
+    n_chunks, chunk_text) per context window: whitespace tokens of the
+    trimmed lowercased text, windows of ``chunk_tokens`` every
+    ``stride`` tokens, last window truncated — ``ceil((n - C)/S) + 1``
+    windows for n > C, one otherwise.  Blank documents yield nothing.
+    Integer arithmetic throughout (`div`, not float ceil); chunk_text
+    re-joins the token slice with single spaces, so both engines emit
+    identical strings."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = (
+        d.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n_tokens_doc", F.size("toks").cast("long"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n_tokens_doc") <= chunk_tokens, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"(n_tokens_doc - {chunk_tokens} + {stride - 1}) div {stride}"
+                )
+                + F.lit(1)
+            ),
+        )
+    )
+    c = t.select(
+        id_col,
+        "toks",
+        "n_tokens_doc",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    tok_start = F.col("chunk_idx") * stride
+    tok_len = F.least(F.lit(chunk_tokens).cast("long"), F.col("n_tokens_doc") - tok_start)
+    return c.select(
+        id_col,
+        "chunk_idx",
+        tok_start.alias("tok_start"),
+        tok_len.alias("n_tokens_chunk"),
+        "n_tokens_doc",
+        "n_chunks",
+        F.array_join(
+            F.slice("toks", (tok_start + 1).cast("int"), tok_len.cast("int")), " "
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "doc_chunks_documents",
+    f"""
+  WITH s AS (
+    SELECT doc_id, {_TOK_DUCK} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  t AS (
+    SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS n_tokens_doc,
+           CASE WHEN length(toks) <= {CHUNK_TOKENS} THEN CAST(1 AS BIGINT)
+                ELSE ((CAST(length(toks) AS BIGINT) - {CHUNK_TOKENS}
+                       + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}) + 1 END AS n_chunks
+    FROM s
+  ),
+  c AS (
+    SELECT doc_id, toks, n_tokens_doc, n_chunks,
+           unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx
+    FROM t
+  )
+  SELECT doc_id, chunk_idx,
+         chunk_idx * {CHUNK_STRIDE} AS tok_start,
+         least(CAST({CHUNK_TOKENS} AS BIGINT),
+               n_tokens_doc - chunk_idx * {CHUNK_STRIDE}) AS n_tokens_chunk,
+         n_tokens_doc, n_chunks,
+         array_to_string(
+           list_slice(toks,
+                      CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT),
+                      CAST(chunk_idx * {CHUNK_STRIDE}
+                           + least(CAST({CHUNK_TOKENS} AS BIGINT),
+                                   n_tokens_doc - chunk_idx * {CHUNK_STRIDE})
+                           AS BIGINT)),
+           ' ') AS chunk_text
+  FROM c
+""",
+)
+def doc_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training context-window chunking (O117, chunk_documents): the
+    corpus split into 64-token windows with stride 48 — the standard
+    sliding-window pretraining preprocessing, emitted as tokenizer-ready
+    normalized chunk text plus exact integer window geometry.  Narrow
+    per-row explode, no shuffle: the plan at 10^12 docs is the plan at
+    sf0.001."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    return chunk_documents(d)

@@ -80,3 +80,63 @@ def test_partitioning_invariance(spark):
 
     docs = _planted_docs(spark)
     assert_df_equal(curate_documents(docs), curate_documents(docs.repartition(7)))
+
+
+# --------------------------------------------------------------------------
+# chunk_documents (O117): context-window geometry, hand-computed.
+# --------------------------------------------------------------------------
+
+def _chunks(spark, texts, **kw):
+    from fischer_spark.queries_webtext import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    out = chunk_documents(df, **kw).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    return by_doc
+
+
+def test_chunk_geometry_small_doc_single_window(spark):
+    c = _chunks(spark, ["a b c d e"], chunk_tokens=64, stride=48)[0]
+    assert len(c) == 1
+    assert (c[0]["tok_start"], c[0]["n_tokens_chunk"], c[0]["n_chunks"]) == (0, 5, 1)
+    assert c[0]["chunk_text"] == "a b c d e"
+
+
+def test_chunk_geometry_overlap_and_truncated_tail(spark):
+    # 5 tokens, C=3, S=2 -> windows [0:3] and [2:5]; overlap token "t2".
+    c = _chunks(spark, ["t0 t1 t2 t3 t4"], chunk_tokens=3, stride=2)[0]
+    assert [(r["tok_start"], r["n_tokens_chunk"]) for r in c] == [(0, 3), (2, 3)]
+    assert [r["chunk_text"] for r in c] == ["t0 t1 t2", "t2 t3 t4"]
+    # 4 tokens, C=3, S=2 -> second window truncated to 2.
+    c = _chunks(spark, ["t0 t1 t2 t3"], chunk_tokens=3, stride=2)[0]
+    assert [(r["tok_start"], r["n_tokens_chunk"]) for r in c] == [(0, 3), (2, 2)]
+
+
+def test_chunk_geometry_exact_boundary_and_blank(spark):
+    # exactly C tokens -> one window; C+1 -> two; blank doc -> nothing.
+    texts = [" ".join(f"w{i}" for i in range(3)),
+             " ".join(f"w{i}" for i in range(4)),
+             "   "]
+    by = _chunks(spark, texts, chunk_tokens=3, stride=3)
+    assert len(by[0]) == 1 and by[0][0]["n_tokens_chunk"] == 3
+    assert [(r["tok_start"], r["n_tokens_chunk"]) for r in by[1]] == [(0, 3), (3, 1)]
+    assert 2 not in by  # blank dropped
+    # full coverage invariant: last window reaches n_tokens_doc exactly
+    for doc in by.values():
+        last = doc[-1]
+        assert last["tok_start"] + last["n_tokens_chunk"] == last["n_tokens_doc"]
+
+
+def test_chunk_rejects_bad_stride():
+    import pytest
+
+    from fischer_spark.queries_webtext import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_tokens=3, stride=4)

@@ -125,6 +125,9 @@ def main() -> None:
         "iqr_outliers_events",
         "scalar_fns_events",
         "doc_chunks_documents",
+        "hist_avg_1h_events",
+        "hist_cumulative_1h_events",
+        "mixture_balance_documents",
     ]
     timings: dict[str, float] = {}
 

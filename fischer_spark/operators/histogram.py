@@ -282,3 +282,96 @@ def hist_fraction(
         )
         .select(*keys, "bucket_ts", "n", "fraction")
     )
+
+
+def hist_avg_stddev(
+    hist: DataFrame, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """PromQL ``histogram_avg(h)`` / ``histogram_stddev(h)`` estimates
+    from the linear-bin tier: mean and standard deviation of the
+    midpoint-mass distribution (uniform-within-bin, the same assumption
+    the quantile walk documents; under/overflow clamp to lo/hi exactly
+    like hist_quantile).
+
+    Determinism is the module's integer discipline: each bin's midpoint
+    is ``lo + 0.5·w·u`` for an INTEGER weight u (2·bin+1; underflow 0;
+    overflow 2·n_bins), so the two moment sums ``Σ cnt·u`` and
+    ``Σ cnt·u²`` are exact BIGINTs — order-free under any partitioning —
+    and the only doubles are the pinned closing expressions
+
+      avg = lo + (w/2)·(S₁/N)
+      E[x²] = lo² + (lo·w)·(S₁/N) + (w²/4)·(S₂/N)
+      stddev = sqrt(max(E[x²] − avg², 0))
+
+    with every coefficient a Python-computed literal shared verbatim
+    with the SQL oracle.  One groupBy, map-side partial agg, no window —
+    the hist_fraction shape; merged coarser tiers give bit-identical
+    answers because the integer moments add."""
+    keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
+    width = (hi - lo) / n_bins
+    u = (
+        F.when(F.col("bin") == UNDERFLOW, F.lit(0))
+        .when(F.col("bin") >= n_bins, F.lit(2 * n_bins))
+        .otherwise(F.col("bin") * 2 + 1)
+    ).cast("long")
+    g = hist.groupBy(*keys, "bucket_ts").agg(
+        F.sum("bin_cnt").cast("long").alias("n"),
+        F.sum(F.col("bin_cnt") * u).cast("long").alias("s1"),
+        F.sum(F.col("bin_cnt") * u * u).cast("long").alias("s2"),
+    )
+    sn = F.col("s1").cast("double") / F.col("n").cast("double")
+    tn = F.col("s2").cast("double") / F.col("n").cast("double")
+    avg = F.lit(float(lo)) + F.lit(width * 0.5) * sn
+    ex2 = (
+        F.lit(float(lo) * float(lo))
+        + F.lit(float(lo) * width) * sn
+        + F.lit(width * width * 0.25) * tn
+    )
+    var = F.greatest(ex2 - avg * avg, F.lit(0.0))
+    return g.select(
+        *keys,
+        "bucket_ts",
+        "n",
+        avg.alias("avg_est"),
+        F.sqrt(var).alias("stddev_est"),
+    )
+
+
+def hist_cumulative(
+    hist: DataFrame, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Classic-Prometheus cumulative bucket export: the long-form tier
+    rendered as ``(key, bucket_ts, le, cum_cnt)`` rows — running counts
+    at each bin's upper bound, the overflow bin mapping to ``le=+Inf``
+    (IEEE infinity, identical in any engine) — i.e. the
+    ``metric_bucket{le=...}`` shape a federation endpoint or a
+    Grafana heatmap expects.
+
+    Boundary semantics: linear bins are half-open ``[b, b+1)``, so a
+    cumulative count at bound ``x`` counts ``v < x`` (strict), not
+    Prometheus' ``v <= x`` — identical for continuous data, one-ulp
+    different for values landing exactly on a bound; documented rather
+    than hidden.  Empty bins are not materialized (the long-form
+    property), so a bucket with no overflow mass has no +Inf row —
+    consumers needing a dense export join against a bounds spine.
+
+    Integer counts cumulate exactly (order-free); the only doubles are
+    ``lo + (bin+1)·w`` with Python-literal coefficients.  One window
+    over the tier's own (key, bucket) Exchange — the hist_quantile
+    shuffle shape."""
+    keys = ["key_id"] if "key_id" in hist.columns else KEY_COLS
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*keys, "bucket_ts")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    le = F.when(F.col("bin") >= n_bins, F.lit(float("inf"))).otherwise(
+        F.lit(float(lo)) + (F.col("bin") + 1).cast("double") * F.lit(width)
+    )
+    return hist.select(
+        *keys,
+        "bucket_ts",
+        le.alias("le"),
+        F.sum("bin_cnt").over(w).cast("long").alias("cum_cnt"),
+    )

@@ -2475,3 +2475,106 @@ def scalar_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sgn(v - F.lit(100.0)).alias("sign_dev"),
         round_to(v, 0.5).alias("rounded_half"),
     )
+
+
+# --------------------------------------------------------------------------
+# O118 — PromQL histogram_avg / histogram_stddev on the hist tier
+# (operators/histogram.py hist_avg_stddev): midpoint-mass mean/stddev
+# with exact BIGINT moment sums (integer weights u = 2*bin+1, clamped
+# under/overflow), doubles only in the pinned closing expressions.
+# --------------------------------------------------------------------------
+
+@register(
+    "hist_avg_1h_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, CAST('event_value' AS VARCHAR) AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('hour', ts) AS bucket_ts, value
+    FROM events
+  ),
+  h AS (
+    SELECT domain, metric, tag, bucket_ts, {_H_BIN_SQL} AS bin,
+           count(*) AS bin_cnt
+    FROM pts GROUP BY 1, 2, 3, 4, 5
+  ),
+  g AS (
+    SELECT domain, metric, tag, bucket_ts,
+           CAST(sum(bin_cnt) AS BIGINT) AS n,
+           CAST(sum(bin_cnt * (CASE WHEN bin = -1 THEN 0
+                                    WHEN bin >= {_H_BINS} THEN {2 * _H_BINS}
+                                    ELSE bin * 2 + 1 END)) AS BIGINT) AS s1,
+           CAST(sum(bin_cnt * (CASE WHEN bin = -1 THEN 0
+                                    WHEN bin >= {_H_BINS} THEN {2 * _H_BINS}
+                                    ELSE bin * 2 + 1 END)
+                            * (CASE WHEN bin = -1 THEN 0
+                                    WHEN bin >= {_H_BINS} THEN {2 * _H_BINS}
+                                    ELSE bin * 2 + 1 END)) AS BIGINT) AS s2
+    FROM h GROUP BY 1, 2, 3, 4
+  )
+  SELECT domain, metric, tag, bucket_ts, n,
+         0.0 + 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           AS avg_est,
+         sqrt(greatest(
+           (0.0 + 0.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            + 16.0 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+           - (0.0 + 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (0.0 + 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))),
+           0.0)) AS stddev_est
+  FROM g
+""",
+)
+def hist_avg_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_avg`` / ``histogram_stddev`` (O118,
+    operators/histogram.py hist_avg_stddev): per (series key, hour),
+    the midpoint-mass mean and stddev estimates read from the SAME
+    long-form 1h histogram tier as the percentile/fraction queries —
+    exact integer moment sums, pinned closing doubles, one
+    conditional-sum groupBy with map-side partial agg."""
+    from fischer_spark.operators.histogram import hist_avg_stddev, hist_states
+    from fischer_spark.queries import _events_series
+
+    h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
+    return hist_avg_stddev(h1h, _H_LO, _H_HI, _H_BINS)
+
+
+# --------------------------------------------------------------------------
+# O119 — classic-Prometheus cumulative bucket export (operators/
+# histogram.py hist_cumulative): the long-form tier as metric_bucket
+# {le=...} rows — the federation/Grafana-heatmap read.
+# --------------------------------------------------------------------------
+
+@register(
+    "hist_cumulative_1h_events",
+    f"""
+  WITH pts AS (
+    SELECT event_type AS domain, CAST('event_value' AS VARCHAR) AS metric,
+           CAST(NULL AS VARCHAR) AS tag,
+           date_trunc('hour', ts) AS bucket_ts, value
+    FROM events
+  ),
+  h AS (
+    SELECT domain, metric, tag, bucket_ts, {_H_BIN_SQL} AS bin,
+           count(*) AS bin_cnt
+    FROM pts GROUP BY 1, 2, 3, 4, 5
+  )
+  SELECT domain, metric, tag, bucket_ts,
+         CASE WHEN bin >= {_H_BINS} THEN CAST('infinity' AS DOUBLE)
+              ELSE 0.0 + CAST(bin + 1 AS DOUBLE) * 8.0 END AS le,
+         CAST(sum(bin_cnt) OVER (PARTITION BY domain, metric, tag, bucket_ts
+                                 ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_cnt
+  FROM h
+""",
+)
+def hist_cumulative_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative le-bucket export (O119, operators/histogram.py
+    hist_cumulative): the 1h histogram tier rendered as classic
+    Prometheus metric_bucket{le=...} rows (overflow bin = le=+Inf,
+    IEEE infinity both engines).  Exact integer running counts, one
+    window on the tier's own (key, bucket) Exchange."""
+    from fischer_spark.operators.histogram import hist_cumulative, hist_states
+    from fischer_spark.queries import _events_series
+
+    h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
+    return hist_cumulative(h1h, _H_LO, _H_HI, _H_BINS)

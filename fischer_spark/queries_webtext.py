@@ -1473,3 +1473,76 @@ def doc_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001."""
     d = scan_testdata(spark, sf_dir, "documents")
     return chunk_documents(d)
+
+
+# --------------------------------------------------------------------------
+# O120 — training-mixture balancing: downsample every language stratum
+# to the smallest stratum's size (the maximal exactly-uniform mixture),
+# with deterministic md5-rank keeps — the reproducible version of the
+# mixture reweighting every multilingual pretraining pipeline runs
+# (cf. the public CC-100/ROOTS mixture discussions).  Integer-exact up
+# to one documented keep_rate double.
+# --------------------------------------------------------------------------
+
+@register(
+    "mixture_balance_documents",
+    """
+  WITH d AS (
+    SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents
+  ),
+  c AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM d GROUP BY 1
+  ),
+  m AS (SELECT min(n_stratum) AS m_target FROM c),
+  r AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS BIGINT) AS rn
+    FROM d
+  )
+  SELECT r.doc_id, r.lang, r.rn, c.n_stratum, m.m_target,
+         CASE WHEN r.rn <= m.m_target THEN 1 ELSE 0 END AS keep,
+         CAST(m.m_target AS DOUBLE) / CAST(c.n_stratum AS DOUBLE) AS keep_rate
+  FROM r JOIN c USING (lang) CROSS JOIN m
+""",
+)
+def mixture_balance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture balancing (O120): every language stratum
+    downsampled to the SMALLEST stratum's size — the maximal exactly
+    uniform mixture — by md5(doc_id) rank (the stratified_sample
+    determinism convention: reproducible across engines, partitionings
+    and reruns).  Emits per-doc keep verdicts plus the per-stratum
+    keep_rate a weighted-sampling consumer would use instead.  Scale
+    shape: one window Exchange on the stratum key carrying (doc_id,
+    lang, hash) — never text; the stratum-size table is a groupBy of
+    the same scan, and the global min is a 1-row broadcast cross join
+    (the stale_series pattern).  All integers except the one keep_rate
+    division."""
+    d = (
+        scan_testdata(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w).cast("long"))
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    m = c.agg(F.min("n_stratum").alias("m_target"))
+    return (
+        r.join(c, "lang")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "lang",
+            "rn",
+            "n_stratum",
+            "m_target",
+            F.when(F.col("rn") <= F.col("m_target"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+            (
+                F.col("m_target").cast("double") / F.col("n_stratum").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

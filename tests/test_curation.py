@@ -140,3 +140,42 @@ def test_chunk_rejects_bad_stride():
 
     with pytest.raises(ValueError):
         chunk_documents(None, chunk_tokens=3, stride=4)
+
+
+# --------------------------------------------------------------------------
+# mixture_balance (O120): uniform downsample to the smallest stratum.
+# --------------------------------------------------------------------------
+
+def test_mixture_balance_uniform_keeps(spark):
+    import os
+
+    from fischer_spark.queries_webtext import mixture_balance_documents
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = mixture_balance_documents(spark, sf).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    m = min(len(v) for v in by_lang.values())
+    for lang, rows in by_lang.items():
+        kept = [r for r in rows if r["keep"] == 1]
+        # every stratum keeps exactly min-stratum-size docs
+        assert len(kept) == m, (lang, len(kept), m)
+        assert all(r["m_target"] == m and r["n_stratum"] == len(rows) for r in rows)
+        assert all(r["rn"] <= m for r in kept)
+        # keep_rate is the exact ratio
+        assert rows[0]["keep_rate"] == m / len(rows)
+
+
+def test_mixture_balance_deterministic_across_partitionings(spark):
+    import os
+
+    from fischer_spark.queries_webtext import mixture_balance_documents
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    a = {(r["doc_id"], r["keep"]) for r in mixture_balance_documents(spark, sf).collect()}
+    b = {
+        (r["doc_id"], r["keep"])
+        for r in mixture_balance_documents(spark, sf).repartition(7).collect()
+    }
+    assert a == b

@@ -234,3 +234,98 @@ def test_hist_fraction_matches_brute(spark, value_points):
     # bound validation
     with pytest.raises(ValueError):
         hist_fraction(h, 50.0, 10.0, LO, HI, BINS)
+
+
+# --------------------------------------------------------------------------
+# hist_avg_stddev (O118): midpoint-mass mean/stddev, hand-computed.
+# --------------------------------------------------------------------------
+
+def _hist_rows(spark, rows):
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    data = [("d", "m", None, b, bin_, cnt) for bin_, cnt in rows]
+    return spark.createDataFrame(
+        data,
+        "domain: string, metric: string, tag: string, "
+        "bucket_ts: timestamp, bin: int, bin_cnt: long",
+    )
+
+
+def test_hist_avg_stddev_hand_computed(spark):
+    import math
+
+    from fischer_spark.operators.histogram import hist_avg_stddev
+
+    # lo=0, hi=10, 5 bins (w=2): mids 1,3,5,7,9; overflow clamps to 10.
+    h = _hist_rows(spark, [(0, 2), (2, 1), (5, 1)])
+    r = hist_avg_stddev(h, 0.0, 10.0, 5).collect()[0]
+    assert r["n"] == 4
+    assert r["avg_est"] == (2 * 1 + 1 * 5 + 1 * 10) / 4  # 4.25
+    assert r["stddev_est"] == math.sqrt((2 * 1 + 25 + 100) / 4 - 4.25 * 4.25)
+
+
+def test_hist_avg_stddev_single_bin_zero_spread(spark):
+    from fischer_spark.operators.histogram import hist_avg_stddev
+
+    # all mass in one bin -> stddev exactly 0 (w=2 keeps coefficients
+    # exact powers of two, so the clamp isn't even needed).
+    h = _hist_rows(spark, [(3, 7)])
+    r = hist_avg_stddev(h, 0.0, 10.0, 5).collect()[0]
+    assert r["avg_est"] == 7.0 and r["stddev_est"] == 0.0
+
+
+def test_hist_avg_stddev_underflow_clamps_to_lo(spark):
+    from fischer_spark.operators.histogram import hist_avg_stddev
+
+    # underflow mid = lo = 0, overflow mid = hi = 10 -> avg 5, spread 5.
+    h = _hist_rows(spark, [(-1, 1), (5, 1)])
+    r = hist_avg_stddev(h, 0.0, 10.0, 5).collect()[0]
+    assert r["avg_est"] == 5.0 and r["stddev_est"] == 5.0
+
+
+def test_hist_avg_stddev_merge_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from fischer_spark.operators.histogram import hist_avg_stddev
+
+    # pooling two bucket rows of the same bin == one pooled row: the
+    # integer moments add, so a merged coarser tier is bit-identical.
+    split = _hist_rows(spark, [(1, 3), (1, 4), (4, 2)])
+    pooled = (
+        split.groupBy("domain", "metric", "tag", "bucket_ts", "bin")
+        .agg(F.sum("bin_cnt").alias("bin_cnt"))
+    )
+    a = hist_avg_stddev(split, 0.0, 10.0, 5).collect()[0]
+    b = hist_avg_stddev(pooled, 0.0, 10.0, 5).collect()[0]
+    assert (a["avg_est"], a["stddev_est"]) == (b["avg_est"], b["stddev_est"])
+
+
+# --------------------------------------------------------------------------
+# hist_cumulative (O119): classic-Prometheus le export, hand-computed.
+# --------------------------------------------------------------------------
+
+def test_hist_cumulative_le_bounds_and_running_counts(spark):
+    import math
+
+    from fischer_spark.operators.histogram import hist_cumulative
+
+    # lo=0, hi=10, 5 bins (w=2). Bins -1 (underflow), 0, 3, 5 (overflow).
+    h = _hist_rows(spark, [(-1, 2), (0, 3), (3, 4), (5, 1)])
+    out = sorted(hist_cumulative(h, 0.0, 10.0, 5).collect(),
+                 key=lambda r: r["le"])
+    # underflow le = lo (bound of everything below the range)
+    assert [(r["le"], r["cum_cnt"]) for r in out[:3]] == [
+        (0.0, 2), (2.0, 5), (8.0, 9),
+    ]
+    assert math.isinf(out[3]["le"]) and out[3]["cum_cnt"] == 10  # +Inf = total
+
+
+def test_hist_cumulative_monotone_per_bucket(spark):
+    from fischer_spark.operators.histogram import hist_cumulative
+
+    h = _hist_rows(spark, [(0, 1), (1, 1), (2, 1), (4, 1)])
+    out = sorted(hist_cumulative(h, 0.0, 10.0, 5).collect(),
+                 key=lambda r: r["le"])
+    cums = [r["cum_cnt"] for r in out]
+    assert cums == sorted(cums) and cums[-1] == 4

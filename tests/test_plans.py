@@ -340,3 +340,62 @@ def test_holt_exact_single_exchange_arrow(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "Join" not in p
     assert p.count(") Exchange") <= 2
+
+
+def test_rate_extrapolated_shared_exchange_all_codegen(spark):
+    """rate_extrapolated_events: the counter synth window (user_id),
+    the per-ts collapse window, the in-bucket lag window and the final
+    groupBy all hash on user_id-prefixed keys — refinements share
+    Exchanges; no Python eval anywhere (pure codegen + window ops)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["rate_extrapolated_events"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p
+    # synth window keys (user_id) and bucket-refined keys: at most two
+    # distinct hash partitionings -> at most two Exchanges, never more
+    assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_iqr_outliers_one_exchange_no_python(spark):
+    """iqr_outliers_events: hourly-count agg + partition-frame window +
+    flags, all hashing (event_type, day)-compatible keys; the whole
+    detector is codegen (collect_list/array_sort/lerp are JVM
+    expressions)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["iqr_outliers_events"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p
+    assert ") Window" in p
+    assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_scalar_fns_no_extra_shuffle(spark):
+    """scalar_fns_events: the clamp/sgn/round projections are pure
+    column expressions over the rollup — exactly the rollup's own
+    Exchange and nothing else, no Window, no Python."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["scalar_fns_events"](spark, SF))
+    assert "Python" not in p and ") Window" not in p
+    assert p.count(") Exchange") == 1
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    """doc_chunks_documents: chunking is a narrow per-row explode —
+    NO Exchange at any scale (the 10^12-doc property, in the plan)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["doc_chunks_documents"](spark, SF))
+    assert ") Exchange" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_hist_avg_two_stacked_aggs_no_window(spark):
+    """hist_avg_1h_events: binning agg + moment agg, map-side partials,
+    no Window (the moments need no cumulative walk), <=2 Exchanges."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["hist_avg_1h_events"](spark, SF))
+    assert ") Window" not in p and "Python" not in p
+    assert "partial_sum" in p or "partial_count" in p
+    assert 1 <= p.count(") Exchange") <= 2

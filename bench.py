@@ -128,6 +128,7 @@ def main() -> None:
         "hist_avg_1h_events",
         "hist_cumulative_1h_events",
         "mixture_balance_documents",
+        "cusum_events",
     ]
     timings: dict[str, float] = {}
 

@@ -548,3 +548,66 @@ def iqr_outliers(
         hi.alias("hi_fence"),
         F.when((v < lo) | (v > hi), F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "bucket_ts",
+    val_col: str = "value",
+    target_col: str = "target",
+    k: float = 2.0,
+    h: float = 10.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores (Page 1954, the public
+    tabular form): per series ordered by ``ts_col``,
+
+        sp_i = max(0, sp_{i-1} + (x_i − target) − k)     (upward drift)
+        sn_i = max(0, sn_{i-1} − (x_i − target) − k)     (downward)
+        alarm_i = 1 when sp_i > h or sn_i > h
+
+    with sp_0 = sn_0 = 0.  Unlike the windowed z-score (level spikes)
+    and the seasonal profiles (slot deviations), CUSUM accumulates many
+    SMALL persistent shifts — the classic "mean moved by half a sigma"
+    detector the other two structurally miss; k is the half-shift
+    allowance, h the decision interval (tune as multiples of the series
+    sigma).  ``target_col`` is a per-series constant column (the
+    in-control mean) the caller supplies — typically the exact-decimal
+    global series mean so the hash convention holds.
+
+    Sequential state ⇒ a grouped Arrow kernel (the holt shape): ONE
+    Exchange on the series key, the recurrence runs per-series inside
+    the worker, memory O(series length) per group — at the 100 TB
+    design point this runs on TIER rows, never raw points.  Float op
+    order per step is pinned ((x − target), + prev, − k, max) so a
+    recursive-CTE SQL oracle replaying the same tree matches
+    bit-for-bit (the holt_exact move)."""
+    from fischer_spark.operators.smooth import _out_schema
+
+    cols = [*keys, ts_col, val_col, target_col]
+    schema = _out_schema(df.select(*cols), cols, ["sp", "sn"])
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[val_col].to_numpy("float64")
+        mu = pdf[target_col].to_numpy("float64")
+        sp = 0.0
+        sn = 0.0
+        sps = []
+        sns = []
+        for i in range(len(x)):
+            d = x[i] - mu[i]
+            sp = max(0.0, sp + d - k)
+            sn = max(0.0, sn - d - k)
+            sps.append(sp)
+            sns.append(sn)
+        pdf["sp"] = sps
+        pdf["sn"] = sns
+        return pdf
+
+    out = df.select(*cols).groupBy(*keys).applyInPandas(_fn, schema=schema)
+    return out.withColumn(
+        "alarm",
+        F.when((F.col("sp") > F.lit(h)) | (F.col("sn") > F.lit(h)), F.lit(1))
+        .otherwise(F.lit(0)),
+    )

@@ -2578,3 +2578,87 @@ def hist_cumulative_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h1h = hist_states(_events_series(spark, sf_dir), "1h", _H_LO, _H_HI, _H_BINS)
     return hist_cumulative(h1h, _H_LO, _H_HI, _H_BINS)
+
+
+# --------------------------------------------------------------------------
+# O121 — CUSUM change-point detector (Page 1954): accumulates small
+# persistent mean shifts the z-score/seasonal detectors structurally
+# miss.  Sequential state under the FULL oracle via the holt_exact
+# recursive-CTE move: the CTE replays the kernel's exact double op
+# sequence ((x − target) + prev − k, then max with 0).
+# --------------------------------------------------------------------------
+
+_CUSUM_K = 25.0   # ~0.75 sigma of the hourly deviations (sigma~33)
+_CUSUM_H = 150.0  # ~4.5 sigma decision interval (ARL-style tuning)
+
+
+@register(
+    "cusum_events",
+    f"""
+  WITH RECURSIVE s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+  ),
+  mu AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS target
+    FROM events GROUP BY 1
+  ),
+  n AS (
+    SELECT s.event_type, s.bucket_ts, s.value, mu.target,
+           row_number() OVER (PARTITION BY s.event_type
+                              ORDER BY s.bucket_ts) AS rn
+    FROM s JOIN mu USING (event_type)
+  ),
+  rec AS (
+    SELECT event_type, bucket_ts, value, target, rn,
+           greatest(0.0, 0.0 + (value - target) - {_CUSUM_K!r}) AS sp,
+           greatest(0.0, 0.0 - (value - target) - {_CUSUM_K!r}) AS sn
+    FROM n WHERE rn = 1
+    UNION ALL
+    SELECT n.event_type, n.bucket_ts, n.value, n.target, n.rn,
+           greatest(0.0, rec.sp + (n.value - n.target) - {_CUSUM_K!r}) AS sp,
+           greatest(0.0, rec.sn - (n.value - n.target) - {_CUSUM_K!r}) AS sn
+    FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1
+  )
+  SELECT event_type, bucket_ts, value, target, sp, sn,
+         CASE WHEN sp > {_CUSUM_H!r} OR sn > {_CUSUM_H!r} THEN 1 ELSE 0 END
+           AS alarm
+  FROM rec
+""",
+)
+def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scores (O121, operators/detect.py
+    cusum_scores) on the hourly exact-decimal mean series per
+    event_type, in-control target = the series' exact-decimal global
+    mean (broadcast join), k=25 (~0.75 sigma of the hourly deviations) / h=150 (~4.5 sigma)
+    shared literals — the standard ARL-style CUSUM tuning, alarming on
+    ~1-4%% of buckets at both test SFs instead of saturating.
+    Sequential recurrence ⇒ grouped Arrow kernel (ONE series-key
+    Exchange); the DuckDB recursive CTE replays the identical double op
+    sequence, so even the accumulated state is bit-exact cross-engine
+    (the holt_exact move)."""
+    from fischer_spark.operators.detect import cusum_scores
+
+    d = scan_testdata(spark, sf_dir, "events")
+    series = d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double")
+        ).alias("value")
+    )
+    target = d.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double")
+        ).alias("target")
+    )
+    j = series.join(F.broadcast(target), "event_type")
+    return cusum_scores(
+        j, ["event_type"], k=_CUSUM_K, h=_CUSUM_H
+    ).select("event_type", "bucket_ts", "value", "target", "sp", "sn", "alarm")

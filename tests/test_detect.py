@@ -258,3 +258,64 @@ def test_iqr_outliers_hand_computed(spark):
     assert b[0.0]["q1"] == 7.5
     assert b[0.0]["q3"] == 20.0 + (1000.0 - 20.0) * 0.25  # 265.0
     assert b[1000.0]["is_outlier"] == 1 and b[20.0]["is_outlier"] == 0
+
+
+# --------------------------------------------------------------------------
+# cusum_scores (O121): Page's two-sided CUSUM, hand-computed.
+# --------------------------------------------------------------------------
+
+def test_cusum_hand_computed_upward_shift(spark):
+    import datetime as dt
+
+    from fischer_spark.operators.detect import cusum_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    # target 10, k=1, h=3: values 10,12,13,13 -> d = 0,2,3,3
+    # sp: max(0,0+0-1)=0; max(0,0+2-1)=1; max(0,1+3-1)=3; max(0,3+3-1)=5
+    rows = [("a", t0 + dt.timedelta(hours=i), float(v), 10.0)
+            for i, v in enumerate([10, 12, 13, 13])]
+    df = spark.createDataFrame(
+        rows, "k: string, bucket_ts: timestamp, value: double, target: double"
+    )
+    out = sorted(cusum_scores(df, ["k"], k=1.0, h=3.0).collect(),
+                 key=lambda r: r["bucket_ts"])
+    assert [r["sp"] for r in out] == [0.0, 1.0, 3.0, 5.0]
+    assert [r["sn"] for r in out] == [0.0, 0.0, 0.0, 0.0]
+    assert [r["alarm"] for r in out] == [0, 0, 0, 1]  # alarm is sp > h, strict
+
+
+def test_cusum_downward_shift_and_reset_to_zero(spark):
+    import datetime as dt
+
+    from fischer_spark.operators.detect import cusum_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    # drop below target then recover: sn accumulates, then drains to 0.
+    rows = [("a", t0 + dt.timedelta(hours=i), float(v), 10.0)
+            for i, v in enumerate([10, 7, 6, 10, 14])]
+    df = spark.createDataFrame(
+        rows, "k: string, bucket_ts: timestamp, value: double, target: double"
+    )
+    out = sorted(cusum_scores(df, ["k"], k=1.0, h=5.0).collect(),
+                 key=lambda r: r["bucket_ts"])
+    # sn: 0; max(0,0+3-1)=2; max(0,2+4-1)=5; max(0,5+0-1)=4; max(0,4-4-1)=0
+    assert [r["sn"] for r in out] == [0.0, 2.0, 5.0, 4.0, 0.0]
+    assert [r["alarm"] for r in out] == [0, 0, 0, 0, 0]  # 5.0 is not > 5.0
+
+
+def test_cusum_accumulates_small_shifts_zscore_misses(spark):
+    import datetime as dt
+
+    from fischer_spark.operators.detect import cusum_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    # persistent +2 shift, k=1: every step adds 1 -> crosses h=10 at
+    # step 11 even though each sample is well inside any z fence.
+    rows = [("a", t0 + dt.timedelta(hours=i), 12.0, 10.0) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "k: string, bucket_ts: timestamp, value: double, target: double"
+    )
+    out = sorted(cusum_scores(df, ["k"], k=1.0, h=10.0).collect(),
+                 key=lambda r: r["bucket_ts"])
+    assert [r["sp"] for r in out] == [float(i + 1) for i in range(15)]
+    assert [r["alarm"] for r in out] == [0] * 10 + [1] * 5

@@ -129,6 +129,7 @@ def main() -> None:
         "hist_cumulative_1h_events",
         "mixture_balance_documents",
         "cusum_events",
+        "corr_over_time_events",
     ]
     timings: dict[str, float] = {}
 

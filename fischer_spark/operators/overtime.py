@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["frame_quantile", "quantile_over_time", "mad_over_time"]
+__all__ = ["corr_over_time", "frame_quantile", "mad_over_time", "quantile_over_time"]
 
 
 def frame_quantile(arr: Column, q: float) -> Column:
@@ -101,4 +101,69 @@ def mad_over_time(
         F.size("_arr").cast("long").alias("n"),
         F.col("_med").alias("med"),
         frame_quantile(dev, 0.5).alias("mad"),
+    )
+
+
+def corr_over_time(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    w: int,
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two aligned series
+    per key — the windowed complement of the global cross-family
+    correlation (corr_count_value_events): does the co-movement between
+    two metrics HOLD right now, not merely on average over the corpus.
+
+    Exactness contract: ``x_col``/``y_col`` must be integer-valued
+    (counts, cents) — the five windowed moments Σx, Σy, Σx², Σy², Σxy
+    then accumulate as exact BIGINTs (order-free under any frame
+    evaluation), and
+
+        r = (W·Σxy − Σx·Σy)
+            / (sqrt(W·Σx² − (Σx)²) · sqrt(W·Σy² − (Σy)²))
+
+    is computed integer-side except the final division and two
+    correctly-rounded sqrts — bit-exact against a SQL oracle replaying
+    the same tree.  NULL where either variance term is zero (constant
+    window) — no score is honest there.
+
+    Scale shape: ONE Exchange on the series key + an in-partition sort;
+    all five moments ride the same trailing ROWS frame (single Window
+    node), O(1) state per row."""
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    n = F.count(F.lit(1)).over(win)
+    sx = F.sum(x).over(win)
+    sy = F.sum(y).over(win)
+    sxx = F.sum(x * x).over(win)
+    syy = F.sum(y * y).over(win)
+    sxy = F.sum(x * y).over(win)
+    out = df.select(
+        *keys,
+        ts_col,
+        x_col,
+        y_col,
+        n.cast("long").alias("n"),
+        (n * sxy - sx * sy).alias("_num"),
+        (n * sxx - sx * sx).alias("_dx"),
+        (n * syy - sy * sy).alias("_dy"),
+    )
+    r = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_dx").cast("double")) * F.sqrt(F.col("_dy").cast("double"))
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        x_col,
+        y_col,
+        "n",
+        F.when((F.col("_dx") > 0) & (F.col("_dy") > 0), r).alias("corr"),
     )

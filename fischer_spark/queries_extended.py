@@ -2662,3 +2662,61 @@ def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_scores(
         j, ["event_type"], k=_CUSUM_K, h=_CUSUM_H
     ).select("event_type", "bucket_ts", "value", "target", "sp", "sn", "alarm")
+
+
+# --------------------------------------------------------------------------
+# O122 — rolling cross-family Pearson correlation (operators/overtime.py
+# corr_over_time): trailing 24h window, exact BIGINT moments (counts ×
+# integer cents), r one pinned double expression — the windowed
+# complement of corr_count_value_events.
+# --------------------------------------------------------------------------
+
+@register(
+    "corr_over_time_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+  ),
+  m AS (
+    SELECT event_type, bucket_ts, x, y,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+  )
+  SELECT event_type, bucket_ts, x, y, n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         END AS corr
+  FROM m
+""",
+)
+def corr_over_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-bucket Pearson correlation between the hourly event
+    COUNT and the hourly integer-cents VALUE volume per event_type
+    (O122, operators/overtime.py corr_over_time) — "is rate still
+    tracking volume this day?", the windowed form of the global
+    corr_count_value_events.  Both inputs exact integers, so the five
+    trailing moments are exact BIGINTs and r is one pinned double
+    expression — bit-exact cross-engine.  One Exchange on the series
+    key; all five moments share a single Window node."""
+    from fischer_spark.operators.overtime import corr_over_time
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.abs(F.col("value")) * 100).cast("long")).alias("y"),
+    )
+    return corr_over_time(s, ["event_type"], "x", "y", w=24)

@@ -105,3 +105,53 @@ def test_query_range_fn_quantile_and_mad_wiring(spark):
     mad = _apply_range_fn(df, "mad_over_time", {"w": 2}).orderBy("bucket_ts").collect()
     assert mad[0]["value"] == pytest.approx(0.0)
     assert mad[1]["value"] == pytest.approx(2.0)  # frame [5,1]: med 3, devs [2,2]
+
+
+# --------------------------------------------------------------------------
+# corr_over_time (O122): hand-computed rolling Pearson.
+# --------------------------------------------------------------------------
+
+def test_corr_over_time_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from fischer_spark.operators.overtime import corr_over_time
+
+    t0 = dt.datetime(2024, 1, 1)
+    # y = 2x exactly -> corr 1.0 once the window has variance; then an
+    # anti-tracking bucket flips the tail window negative.
+    rows = [("a", t0 + dt.timedelta(hours=i), x, y)
+            for i, (x, y) in enumerate([(1, 2), (2, 4), (3, 6), (4, 2)])]
+    df = spark.createDataFrame(
+        rows, "k: string, bucket_ts: timestamp, x: long, y: long"
+    )
+    out = sorted(corr_over_time(df, ["k"], "x", "y", w=3).collect(),
+                 key=lambda r: r["bucket_ts"])
+    assert out[0]["corr"] is None           # single point: zero variance
+    # perfectly-tracking windows: r is the pinned float expression (the
+    # sqrt product lands one ulp off 12, so "1.0" is 1.0000000000000002
+    # in BOTH engines — that bit pattern IS the contract)
+    assert out[1]["corr"] == (2 * 10 - 3 * 6) / (
+        math.sqrt(2 * 5 - 9) * math.sqrt(2 * 20 - 36)
+    )
+    assert out[2]["corr"] == (3 * 28 - 6 * 12) / (
+        math.sqrt(3 * 14 - 36) * math.sqrt(3 * 56 - 144)
+    )
+    # window (2,4),(3,6),(4,2): n=3 sx=9 sy=12 sxx=29 syy=56 sxy=34
+    num = 3 * 34 - 9 * 12
+    dx, dy = 3 * 29 - 81, 3 * 56 - 144
+    assert out[3]["corr"] == num / (math.sqrt(dx) * math.sqrt(dy))
+
+
+def test_corr_over_time_constant_window_is_null(spark):
+    import datetime as dt
+
+    from fischer_spark.operators.overtime import corr_over_time
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=i), 5, i + 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "k: string, bucket_ts: timestamp, x: long, y: long"
+    )
+    out = corr_over_time(df, ["k"], "x", "y", w=3).collect()
+    assert all(r["corr"] is None for r in out)  # x constant everywhere

@@ -130,6 +130,8 @@ def main() -> None:
         "mixture_balance_documents",
         "cusum_events",
         "corr_over_time_events",
+        "boilerplate_share_documents",
+        "rolling_distinct_users_events",
     ]
     timings: dict[str, float] = {}
 

@@ -2720,3 +2720,60 @@ def corr_over_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.abs(F.col("value")) * 100).cast("long")).alias("y"),
     )
     return corr_over_time(s, ["event_type"], "x", "y", w=24)
+
+
+# --------------------------------------------------------------------------
+# O124 — rolling exact distinct users (sliding DAU/WAU): trailing
+# 24-bucket distinct-user count per series, entirely as codegen array
+# ops (collect_set per bucket, flatten+distinct over the frame).
+# Set sizes are order-free integers — hash-safe by construction.
+# --------------------------------------------------------------------------
+
+@register(
+    "rolling_distinct_users_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           list(DISTINCT user_id) AS us
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type, bucket_ts,
+         CAST(len(us) AS BIGINT) AS hourly_users,
+         CAST(len(list_distinct(flatten(list(us) OVER w))) AS BIGINT)
+           AS rolling_users,
+         CAST(count(*) OVER w AS BIGINT) AS n_buckets
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24h exact distinct users per event_type (O124) — the
+    sliding DAU/WAU read every product dashboard wants and plain
+    tier states cannot answer (distinct does not sum across buckets).
+    Mechanism: per-bucket collect_set (the only shuffle — the series
+    key Exchange), then flatten + array_distinct over a trailing ROWS
+    frame, all whole-stage-codegen array expressions; counts are
+    order-free exact integers, so the oracle matches regardless of set
+    order.  Frame memory is O(w x per-bucket distinct) — bounded, and
+    at the 100 TB design point this runs on per-bucket user SETS (the
+    cardinality-reduced tier), never raw events.  The exact complement
+    of approx_distinct_users_events' HLL sketch."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.collect_set("user_id").alias("us"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return s.select(
+        "event_type",
+        "bucket_ts",
+        F.size("us").cast("long").alias("hourly_users"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("us").over(win))))
+        .cast("long")
+        .alias("rolling_users"),
+        F.count(F.lit(1)).over(win).cast("long").alias("n_buckets"),
+    )

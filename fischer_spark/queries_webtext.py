@@ -1546,3 +1546,74 @@ def mixture_balance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O123 — corpus-wide boilerplate share: fraction of a document's
+# DISTINCT 8-token shingles that also occur in at least one OTHER
+# document — the cross-document memorization/boilerplate signal
+# (navigation chrome, license blocks, templated text), complementing
+# repetition_signals (within-doc) and contamination_check (vs an eval
+# set).  Cf. the public C4/RefinedWeb boilerplate discussions.
+# --------------------------------------------------------------------------
+
+@register(
+    "boilerplate_share_documents",
+    f"""
+  WITH s AS (
+    SELECT doc_id, {_TOK_DUCK} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  w AS (SELECT doc_id, toks FROM s WHERE len(toks) >= {_SHINGLE_N}),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ')) AS sh
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - {_SHINGLE_N} + 2)) AS i FROM w)
+  ),
+  c AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY 1)
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate,
+         CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS boilerplate_share
+  FROM sh JOIN c USING (sh)
+  GROUP BY 1
+""",
+)
+def boilerplate_share_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share (O123): per document, the
+    fraction of its distinct 8-token shingles that appear in >= 2
+    distinct documents corpus-wide — high values flag templated chrome
+    a curation pass should strip or down-weight.  Exact integers up to
+    one closing division.  Scale shape: doc-distinct shingle rows
+    (md5 hashes, never text) -> shingle-keyed document-frequency
+    groupBy -> hash-keyed join back -> per-doc agg; the
+    rare_token_ratio plan with shingles for tokens — every shuffle
+    carries (hash, id, count) rows only."""
+    d = scan_testdata(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    s = d.select("doc_id", F.expr(_TOK_SPARK).alias("toks")).filter(
+        F.size("toks") >= _SHINGLE_N
+    )
+    shingle = (
+        f"transform(sequence(1, size(toks) - {_SHINGLE_N} + 1), "
+        f"i -> md5(cast(array_join(slice(toks, i, {_SHINGLE_N}), ' ') as binary)))"
+    )
+    sh = (
+        s.select("doc_id", F.explode(F.expr(shingle)).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    c = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(c, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_boilerplate"),
+            (
+                shared.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("boilerplate_share"),
+        )
+    )

@@ -179,3 +179,35 @@ def test_mixture_balance_deterministic_across_partitionings(spark):
         for r in mixture_balance_documents(spark, sf).repartition(7).collect()
     }
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# boilerplate_share (O123): planted cross-document shingle overlap.
+# --------------------------------------------------------------------------
+
+def test_boilerplate_share_planted(spark, tmp_path):
+    import os
+
+    from fischer_spark.queries_webtext import boilerplate_share_documents
+
+    footer = "copyright acme corp all rights reserved contact us now"  # 9 toks
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + footer),
+        (2, "one two three four five six seven eight nine ten " + footer),
+        (3, "unique words only here nothing shared at all whatsoever kappa"),
+        (4, "short"),          # < 8 tokens: no shingles, no row
+        (5, "   "),            # blank: dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    # satisfy scan_testdata's directory contract
+    out = {r["doc_id"]: r for r in
+           boilerplate_share_documents(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    # the 9-token footer contributes 9-8+1 = 2 footer-only 8-gram
+    # shingles to each carrier; doc 3 shares nothing
+    assert out[1]["n_boilerplate"] == 2 and out[2]["n_boilerplate"] == 2
+    assert out[3]["n_boilerplate"] == 0 and out[3]["boilerplate_share"] == 0.0
+    for d in (1, 2):
+        r = out[d]
+        assert r["boilerplate_share"] == r["n_boilerplate"] / r["n_shingles"]

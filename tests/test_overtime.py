@@ -155,3 +155,39 @@ def test_corr_over_time_constant_window_is_null(spark):
     )
     out = corr_over_time(df, ["k"], "x", "y", w=3).collect()
     assert all(r["corr"] is None for r in out)  # x constant everywhere
+
+
+# --------------------------------------------------------------------------
+# rolling distinct users (O124): hand-computed sliding union.
+# --------------------------------------------------------------------------
+
+def test_rolling_distinct_users_hand_computed(spark):
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 1), ("a", t0, 2), ("a", t0, 2),
+        ("a", t0 + dt.timedelta(hours=1), 2), ("a", t0 + dt.timedelta(hours=1), 3),
+        ("a", t0 + dt.timedelta(hours=2), 9),
+        ("a", t0 + dt.timedelta(hours=3), 1),
+    ]
+    ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp, user_id: long")
+    s = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.collect_set("user_id").alias("us"))
+    win = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-1, 0)
+    out = sorted(
+        s.select(
+            "bucket_ts",
+            F.size("us").alias("hourly"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("us").over(win))))
+            .alias("rolling"),
+        ).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    # w=2 sliding unions: {1,2}; {1,2}∪{2,3}=3; {2,3}∪{9}=3; {9}∪{1}=2
+    assert [r["hourly"] for r in out] == [2, 2, 1, 1]
+    assert [r["rolling"] for r in out] == [2, 3, 3, 2]

@@ -399,3 +399,37 @@ def test_hist_avg_two_stacked_aggs_no_window(spark):
     assert ") Window" not in p and "Python" not in p
     assert "partial_sum" in p or "partial_count" in p
     assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_corr_over_time_single_window_single_exchange(spark):
+    """corr_over_time_events: all five moments ride ONE Window node on
+    the series-key Exchange; hourly agg + window share partitioning."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["corr_over_time_events"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p
+    assert p.count(") Window") == 1
+    assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_boilerplate_share_shuffles_hashes_not_text(spark):
+    """boilerplate_share_documents: every hashpartitioning argument is
+    the md5 shingle hash or doc_id — document text never crosses the
+    wire (the segment-dedup discipline)."""
+    import re
+
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["boilerplate_share_documents"](spark, SF))
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in args, args
+
+
+def test_rolling_distinct_users_one_exchange_codegen(spark):
+    """rolling_distinct_users_events: collect_set agg + frame window
+    share the series-key partitioning; array ops are codegen."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["rolling_distinct_users_events"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p
+    assert 1 <= p.count(") Exchange") <= 2

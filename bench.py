@@ -132,6 +132,10 @@ def main() -> None:
         "corr_over_time_events",
         "boilerplate_share_documents",
         "rolling_distinct_users_events",
+        "spearman_daily_events",
+        "theil_sen_events",
+        "cohort_retention_events",
+        "source_entropy_documents",
     ]
     timings: dict[str, float] = {}
 

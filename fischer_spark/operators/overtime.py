@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["corr_over_time", "frame_quantile", "mad_over_time", "quantile_over_time"]
+__all__ = ["corr_over_time", "frame_quantile", "mad_over_time", "quantile_over_time", "spearman_grouped"]
 
 
 def frame_quantile(arr: Column, q: float) -> Column:
@@ -166,4 +166,69 @@ def corr_over_time(
         y_col,
         "n",
         F.when((F.col("_dx") > 0) & (F.col("_dy") > 0), r).alias("corr"),
+    )
+
+
+def spearman_grouped(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Spearman rank correlation between two aligned series per group
+    (O125) — the robust complement of ``corr_over_time``: monotone
+    co-movement, immune to outliers and to any monotone rescaling of
+    either metric (a single spiky hour dominates Pearson; it moves
+    Spearman by at most one rank).
+
+    Rank convention: ``row_number`` ordered by ``(value, ts_col)`` —
+    competition ranks with a DETERMINISTIC total order (the timestamp
+    tie-break), so both engines assign the identical permutation of
+    1..n and every downstream moment is an exact BIGINT.  This is the
+    standard tie-break-by-time spelling (ties get distinct adjacent
+    ranks rather than fractional mid-ranks — documented divergence from
+    the fractional-tie textbook form, chosen for cross-engine
+    exactness; on continuous-valued buckets ties are measure-zero).
+
+    rho is then Pearson over the two integer rank vectors with the same
+    pinned expression tree as ``corr_over_time``:
+
+        rho = (n·Σxy − Σx·Σy)
+              / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    — exact integer numerators, two correctly-rounded sqrts, one
+    division.  NULL when either rank variance is zero (n ≤ 1).
+
+    Scale shape: one Exchange on ``keys`` feeds BOTH rank windows and
+    the final aggregate (same partitioning reused across stages — AQE
+    collapses them onto one shuffle), state O(1) per row; group size is
+    the bucket count per key (24 for daily-over-hourly), a constant."""
+    wx = Window.partitionBy(*keys).orderBy(x_col, ts_col)
+    wy = Window.partitionBy(*keys).orderBy(y_col, ts_col)
+    ranked = df.select(
+        *keys,
+        F.row_number().over(wx).cast("long").alias("_rx"),
+        F.row_number().over(wy).cast("long").alias("_ry"),
+    )
+    rx, ry = F.col("_rx"), F.col("_ry")
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+        F.sum(rx * ry).alias("_sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = num.cast("double") / (
+        F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.when((dx > 0) & (dy > 0), rho).alias("rho"),
     )

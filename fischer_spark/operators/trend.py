@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from fischer_spark.functions.time import is_ntz
 
-__all__ = ["linear_trend_exact", "linear_trend_fast"]
+__all__ = ["linear_trend_exact", "linear_trend_fast", "theil_sen_slope"]
 
 
 def _x_rel_us(df: DataFrame, ts_col: str, bucket: Column) -> Column:
@@ -139,4 +139,69 @@ def linear_trend_fast(
         "n",
         "slope",
         (F.col("icpt") + F.col("slope") * F.lit(predict_at_s)).alias("predict"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str = "h",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil–Sen robust slope per group (O126): the median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i) over i < j — a 29.3%%-
+    breakdown-point trend estimator (Sen 1968, public) that a single
+    corrupted bucket cannot move, unlike the least-squares ``deriv``
+    pair in this module.
+
+    Exactness contract: ``x_col`` and ``y_col`` must be integer-valued
+    (bucket index / cents), so each pairwise slope is ONE exact-integer
+    subtraction pair and ONE double division — bit-identical in any
+    engine.  "Median" is the DISCRETE median — the element at
+    row_number ceil(n/2) under the total order (slope, x_i, x_j) — so
+    no interpolation arithmetic exists to diverge; for even pair
+    counts this is the lower middle element (documented convention;
+    the estimator's robustness is unchanged — Sen's original uses
+    either middle).
+
+    Mechanism: an intra-group self-equi-join on ``key_cols`` builds the
+    O(w²) pair set, one window ranks slopes, one filter keeps the
+    median row.  Scale shape: the join key IS the group key — one
+    Exchange per side, pairs never leave their partition; w is the
+    bucket count per group (24 for daily-over-hourly ⇒ 276 pairs), a
+    CONSTANT, so the quadratic is bounded and the whole pipeline is
+    codegen (no Python, no collect)."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        *key_cols,
+        F.col(x_col).cast("long").alias("_xa"),
+        F.col(y_col).cast("long").alias("_ya"),
+    )
+    b = df.select(
+        *key_cols,
+        F.col(x_col).cast("long").alias("_xb"),
+        F.col(y_col).cast("long").alias("_yb"),
+    )
+    pairs = a.join(b, key_cols).filter(F.col("_xa") < F.col("_xb"))
+    slope = (F.col("_yb") - F.col("_ya")).cast("double") / (
+        F.col("_xb") - F.col("_xa")
+    ).cast("double")
+    ranked = pairs.select(
+        *key_cols, slope.alias("slope"), F.col("_xa").alias("_xi"),
+        F.col("_xb").alias("_xj"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("slope", "_xi", "_xj")
+    ranked = ranked.select(
+        *key_cols,
+        "slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).alias("_n"),
+    )
+    return ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") / F.lit(2)).cast("int")
+    ).select(
+        *key_cols,
+        F.col("slope").alias("ts_slope"),
+        F.col("_n").cast("long").alias("n_pairs"),
     )

@@ -2777,3 +2777,191 @@ def rolling_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("rolling_users"),
         F.count(F.lit(1)).over(win).cast("long").alias("n_buckets"),
     )
+
+
+# --------------------------------------------------------------------------
+# O125 — daily Spearman rank correlation (operators/overtime.py
+# spearman_grouped): per (event_type, day), rank the 24 hourly counts
+# and the 24 hourly cents-volumes, Pearson over the integer ranks.
+# --------------------------------------------------------------------------
+
+@register(
+    "spearman_daily_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2, 3
+  ),
+  r AS (
+    SELECT event_type, day,
+           CAST(row_number() OVER (PARTITION BY event_type, day
+                                   ORDER BY x, bucket_ts) AS BIGINT) AS rx,
+           CAST(row_number() OVER (PARTITION BY event_type, day
+                                   ORDER BY y, bucket_ts) AS BIGINT) AS ry
+    FROM s
+  ),
+  m AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+           CAST(sum(rx * rx) AS BIGINT) AS sxx,
+           CAST(sum(ry * ry) AS BIGINT) AS syy,
+           CAST(sum(rx * ry) AS BIGINT) AS sxy
+    FROM r GROUP BY 1, 2
+  )
+  SELECT event_type, day, n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         END AS rho
+  FROM m
+""",
+)
+def spearman_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Spearman rank correlation between hourly event COUNT and
+    hourly integer-cents VALUE volume per event_type (O125,
+    operators/overtime.py spearman_grouped) — the robust sibling of
+    corr_over_time_events: a single spiky hour moves it by at most one
+    rank.  Ranks are row_number over (value, bucket_ts) — a
+    deterministic total order, so both engines assign the identical
+    1..n permutation and every moment is an exact BIGINT; rho is the
+    pinned two-sqrt expression.  One Exchange on (event_type, day)
+    feeds both rank windows and the final aggregate."""
+    from fischer_spark.operators.overtime import spearman_grouped
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.abs(F.col("value")) * 100).cast("long")).alias("y"),
+    )
+    return spearman_grouped(s, ["event_type", "day"], "x", "y")
+
+
+# --------------------------------------------------------------------------
+# O126 — Theil–Sen robust daily trend (operators/trend.py
+# theil_sen_slope): median of the 276 pairwise hourly slopes per day.
+# --------------------------------------------------------------------------
+
+@register(
+    "theil_sen_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(date_part('hour', ts) AS BIGINT) AS h,
+           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2, 3
+  ),
+  pairs AS (
+    SELECT a.event_type, a.day,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope,
+           a.h AS xi, b.h AS xj
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.day = b.day AND a.h < b.h
+  ),
+  ranked AS (
+    SELECT event_type, day, slope,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY slope, xi, xj) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+    FROM pairs
+  )
+  SELECT event_type, day, slope AS ts_slope, n AS n_pairs
+  FROM ranked
+  WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS INT)
+""",
+)
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of the hourly cents-volume series per
+    (event_type, day) (O126, operators/trend.py theil_sen_slope): the
+    DISCRETE median (lower-middle element under the (slope, xi, xj)
+    total order — no interpolation arithmetic to diverge) of all 276
+    pairwise slopes over the day's 24 integer-hour buckets.  Integer
+    inputs ⇒ each slope is one exact subtraction pair + one double
+    division; the intra-group self-join keys ON the group, so pairs
+    never cross partitions and w=24 bounds the quadratic.  The robust
+    complement of deriv_predict_events' least-squares fit."""
+    from fischer_spark.operators.trend import theil_sen_slope
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour(F.col("ts")).cast("long").alias("h"),
+    ).agg(F.sum(F.floor(F.abs(F.col("value")) * 100).cast("long")).alias("y"))
+    return theil_sen_slope(s, ["event_type", "day"], "h", "y")
+
+
+# --------------------------------------------------------------------------
+# O127 — cohort retention matrix: users bucketed by first-seen day,
+# distinct-active counts at each day offset — exact integers throughout.
+# --------------------------------------------------------------------------
+
+@register(
+    "cohort_retention_events",
+    """
+  WITH firsts AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+    FROM events GROUP BY 1
+  ),
+  activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           CAST((epoch(date_trunc('day', e.ts)) - epoch(f.cohort_day))
+                / 86400 AS BIGINT) AS day_offset
+    FROM events e JOIN firsts f USING (user_id)
+  ),
+  sizes AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY 1
+  )
+  SELECT a.cohort_day, a.day_offset,
+         CAST(count(*) AS BIGINT) AS active_users,
+         min(s.cohort_users) AS cohort_users
+  FROM activity a JOIN sizes s USING (cohort_day)
+  GROUP BY 1, 2
+""",
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (O127): users bucketed by FIRST-seen day,
+    then for each (cohort_day, day_offset) the exact distinct count of
+    cohort members active that day, alongside the cohort's size — the
+    classic retention triangle every growth dashboard reads, and a
+    shape tier states cannot answer (distinct does not sum).  All
+    columns are exact integers — hash-safe by construction.  Scale
+    shape: one user-keyed partial-aggregated groupBy (firsts), one
+    user-keyed equi-join back (co-partitioned with the groupBy — AQE
+    reuses the Exchange), DISTINCT collapses to per-(user, day) rows
+    BEFORE the matrix aggregate, and the sizes join is a broadcast
+    (cohort days are few).  No window, no Python."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.select("user_id", day.alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            ((F.unix_seconds(F.col("day")) - F.unix_seconds(F.col("cohort_day")))
+             / 86400).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.min("cohort_users").alias("cohort_users"),
+        )
+    )

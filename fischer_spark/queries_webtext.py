@@ -1617,3 +1617,79 @@ def boilerplate_share_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O128 — corpus mixture entropy: Shannon entropy of the source
+# distribution per language — the "is this slice of the corpus
+# dominated by one crawl source?" diversity health signal.
+# --------------------------------------------------------------------------
+
+@register(
+    "source_entropy_documents",
+    """
+  WITH c AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+  ),
+  t AS (
+    SELECT lang, CAST(sum(c) AS BIGINT) AS tot, CAST(max(c) AS BIGINT) AS mx,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM c GROUP BY 1
+  ),
+  term AS (
+    SELECT c.lang,
+           (CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             * log10(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS v
+    FROM c JOIN t USING (lang)
+  )
+  SELECT term.lang,
+         min(t.n_sources) AS n_sources,
+         min(t.tot) AS n_docs,
+         CAST(min(t.mx) AS DOUBLE) / CAST(min(t.tot) AS DOUBLE) AS top_share,
+         -list_reduce(list_sort(list(term.v)), (a, b) -> a + b) AS entropy10
+  FROM term JOIN t USING (lang)
+  GROUP BY 1
+""",
+)
+def source_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy (log10) of the corpus' SOURCE mix
+    (O128) — the mixture-diversity health signal curation pipelines
+    watch: entropy near 0 means one crawl source dominates the
+    language's slice (top_share says which fraction), entropy near
+    log10(n_sources) means an even mix.  Float contract follows
+    unigram_logprob_documents: each term is p·log10(p) from exact
+    integer counts (two divisions + one correctly-rounded log10), and
+    the per-lang fold sums the SORTED term list on both engines
+    (F.aggregate(array_sort(...)) == list_reduce(list_sort(...)); the
+    0.0 init is exact for the strictly negative terms) — bit-exact
+    regardless of partial-aggregation order.  Scale shape: the shuffles
+    carry only (lang, source) count rows — cardinality = the mixture
+    table, never documents; two partial-aggregated groupBys + one
+    broadcast-sized join."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.max("c").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    term = c.join(F.broadcast(t), "lang").select(
+        "lang", (p * F.log10(p)).alias("v")
+    )
+    return (
+        term.join(F.broadcast(t), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_sources").alias("n_sources"),
+            F.min("tot").alias("n_docs"),
+            (F.min("mx").cast("double") / F.min("tot").cast("double"))
+            .alias("top_share"),
+            (-F.aggregate(
+                F.array_sort(F.collect_list("v")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )).alias("entropy10"),
+        )
+    )

@@ -433,3 +433,59 @@ def test_rolling_distinct_users_one_exchange_codegen(spark):
     p = plan_of(get_queries()["rolling_distinct_users_events"](spark, SF))
     assert "Python" not in p and "Arrow" not in p
     assert 1 <= p.count(") Exchange") <= 2
+
+
+def test_spearman_two_windows_share_group_exchange(spark):
+    """spearman_daily_events: the hourly pre-agg shuffles once on
+    (type, day, hour); both rank windows and the moment aggregate then
+    share ONE (type, day) Exchange — never a third shuffle, never
+    Python (ranks and moments are codegen integer ops)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["spearman_daily_events"](spark, SF))
+    assert p.count(") Window") == 2
+    assert 1 <= p.count(") Exchange") <= 2
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_theil_sen_self_join_keyed_no_cartesian(spark):
+    """theil_sen_events: the O(w^2) pair build is an EQUI-join on the
+    group key (never a cartesian), and the median pick is window
+    row_number — all codegen."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["theil_sen_events"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    assert p.count(") Exchange") <= 4
+
+
+def test_cohort_retention_no_window_no_python(spark):
+    """cohort_retention_events: firsts groupBy + user-keyed join +
+    DISTINCT + matrix aggregate — aggregation-only shape (no Window),
+    the sizes side a broadcast, everything codegen integers."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["cohort_retention_events"](spark, SF))
+    assert ") Window" not in p
+    assert "BroadcastHashJoin" in p  # sizes (and at this SF, firsts) broadcast
+    assert "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+
+
+def test_source_entropy_shuffles_mixture_not_documents(spark):
+    """source_entropy_documents: after the first (lang, source) count
+    agg, every shuffle carries mixture-cardinality rows — the text
+    column never appears in any Exchange, and the totals join is a
+    broadcast."""
+    from fischer_spark.queries import get_queries
+
+    df = get_queries()["source_entropy_documents"](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # ReadSchema must prune to the two mixture columns — never text
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "text" not in m.group(1)

@@ -136,6 +136,9 @@ def main() -> None:
         "theil_sen_events",
         "cohort_retention_events",
         "source_entropy_documents",
+        "acf_events",
+        "kendall_daily_events",
+        "fano_daily_events",
     ]
     timings: dict[str, float] = {}
 

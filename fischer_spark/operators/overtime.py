@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["corr_over_time", "frame_quantile", "mad_over_time", "quantile_over_time", "spearman_grouped"]
+__all__ = ["corr_over_time", "frame_quantile", "mad_over_time", "quantile_over_time", "spearman_grouped", "acf_grouped", "kendall_grouped"]
 
 
 def frame_quantile(arr: Column, q: float) -> Column:
@@ -231,4 +231,136 @@ def spearman_grouped(
         *keys,
         "n",
         F.when((dx > 0) & (dy > 0), rho).alias("rho"),
+    )
+
+
+def acf_grouped(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    lags: list[int],
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Autocorrelation function per series (O129): Pearson r between
+    x_t and x_{t−k} for each requested lag k over the observed bucket
+    sequence — "is this series periodic, and at what period?" (a daily
+    cycle shows as a peak at lag 24 on hourly buckets).
+
+    Lag convention: k POSITIONS back in the observed, ordered bucket
+    sequence (on gap-free tiers — the design-point input — positions
+    == time steps; on gappy series run gap-fill first, documented).
+
+    Exactness contract: integer ``x_col`` ⇒ per-lag moments over the
+    overlapping range (n, Σa, Σb, Σa², Σb², Σab) accumulate as exact
+    BIGINTs via conditional sums, and each r_k is the pinned two-sqrt
+    expression — bit-exact cross-engine.  NULL where the overlap is
+    degenerate (either side constant, or n ≤ 1).
+
+    Scale shape: ONE Exchange on the series key feeds one Window node
+    (all lag columns share the single in-partition sort) and the final
+    aggregate; output long form via an exploded literal struct array —
+    all codegen, O(|lags|) state per row."""
+    win = Window.partitionBy(*keys).orderBy(ts_col)
+    x = F.col(x_col).cast("long")
+    lagged = df.select(
+        *keys,
+        x.alias("_x"),
+        *[F.lag(x, k).over(win).alias(f"_l{k}") for k in lags],
+    )
+    aggs = []
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        present = lk.isNotNull()
+        a = F.when(present, F.col("_x"))
+        aggs += [
+            F.count(lk).alias(f"_n{k}"),
+            F.sum(a).alias(f"_sa{k}"),
+            F.sum(lk).alias(f"_sb{k}"),
+            F.sum(a * F.col("_x")).alias(f"_saa{k}"),
+            F.sum(lk * lk).alias(f"_sbb{k}"),
+            F.sum(a * lk).alias(f"_sab{k}"),
+        ]
+    g = lagged.groupBy(*keys).agg(*aggs)
+
+    def r_k(k: int):
+        n = F.col(f"_n{k}")
+        sa, sb = F.col(f"_sa{k}"), F.col(f"_sb{k}")
+        num = n * F.col(f"_sab{k}") - sa * sb
+        da = n * F.col(f"_saa{k}") - sa * sa
+        db = n * F.col(f"_sbb{k}") - sb * sb
+        r = num.cast("double") / (
+            F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
+        )
+        return F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            n.cast("long").alias("n"),
+            F.when((da > 0) & (db > 0), r).alias("acf"),
+        )
+
+    return g.select(
+        *keys, F.explode(F.array(*[r_k(k) for k in lags])).alias("_s")
+    ).select(*keys, "_s.lag", "_s.n", "_s.acf")
+
+
+def kendall_grouped(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Kendall tau-b rank correlation per group (O130) — the
+    concordance member of the association family: the probability-
+    scaled excess of concordant over discordant pairs, tie-corrected.
+    Where Spearman (rho) weights by rank DISTANCE, tau counts rank
+    AGREEMENTS — more robust still, and its pair counts are pure
+    integers:
+
+        tau_b = (nc − nd) / sqrt((n0 − n1)(n0 − n2))
+
+    with n0 = n(n−1)/2, n1 = #pairs tied in x, n2 = #pairs tied in y —
+    every count an exact BIGINT from ONE pair pass; the only float ops
+    are the two correctly-rounded sqrts and one division (pinned).
+    NULL when either sqrt argument is zero (all-tied side).
+
+    Scale shape: the theil_sen move — an intra-group self-equi-join on
+    ``keys`` (pairs never cross partitions, O(w²) bounded by the
+    per-group bucket count) + one partial-aggregated groupBy.  All
+    codegen."""
+    a = df.select(
+        *keys,
+        F.col(ts_col).alias("_ta"),
+        F.col(x_col).cast("long").alias("_xa"),
+        F.col(y_col).cast("long").alias("_ya"),
+    )
+    b = df.select(
+        *keys,
+        F.col(ts_col).alias("_tb"),
+        F.col(x_col).cast("long").alias("_xb"),
+        F.col(y_col).cast("long").alias("_yb"),
+    )
+    pairs = a.join(b, keys).filter(F.col("_ta") < F.col("_tb"))
+    dx = F.col("_xb") - F.col("_xa")
+    dy = F.col("_yb") - F.col("_ya")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    g = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        one((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("long").alias("nc"),
+        one((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("long").alias("nd"),
+        one(dx == 0).cast("long").alias("n1"),
+        one(dy == 0).cast("long").alias("n2"),
+    )
+    da = F.col("n0") - F.col("n1")
+    db = F.col("n0") - F.col("n2")
+    tau = (F.col("nc") - F.col("nd")).cast("double") / (
+        F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
+    )
+    return g.select(
+        *keys,
+        "n0",
+        "nc",
+        "nd",
+        "n1",
+        "n2",
+        F.when((da > 0) & (db > 0), tau).alias("tau_b"),
     )

@@ -2965,3 +2965,205 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cohort_users").alias("cohort_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O129 — autocorrelation function (operators/overtime.py acf_grouped):
+# per event_type, Pearson r between the hourly count series and itself
+# at lags 1/2/3/6/12/24 — the periodicity read (a daily cycle peaks at
+# lag 24).  Oracle generated per-lag, mirroring the conditional-sum
+# moments exactly.
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = [1, 2, 3, 6, 12, 24]
+
+
+def _acf_oracle(lags: list[int]) -> str:
+    lag_cols = ",\n           ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS l{k}"
+        for k in lags
+    )
+    moments = ",\n           ".join(
+        f"CAST(count(l{k}) AS BIGINT) AS n{k},\n           "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT) AS sa{k},\n           "
+        f"CAST(sum(l{k}) AS BIGINT) AS sb{k},\n           "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x * x END) AS BIGINT) AS saa{k},\n           "
+        f"CAST(sum(l{k} * l{k}) AS BIGINT) AS sbb{k},\n           "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END * l{k}) AS BIGINT) AS sab{k}"
+        for k in lags
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, CAST({k} AS BIGINT) AS lag, n{k} AS n,
+         CASE WHEN n{k} * saa{k} - sa{k} * sa{k} > 0
+               AND n{k} * sbb{k} - sb{k} * sb{k} > 0 THEN
+           CAST(n{k} * sab{k} - sa{k} * sb{k} AS DOUBLE)
+           / (sqrt(CAST(n{k} * saa{k} - sa{k} * sa{k} AS DOUBLE))
+              * sqrt(CAST(n{k} * sbb{k} - sb{k} * sb{k} AS DOUBLE)))
+         END AS acf
+  FROM m"""
+        for k in lags
+    )
+    return f"""
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+  ),
+  l AS (
+    SELECT event_type, x,
+           {lag_cols}
+    FROM s
+  ),
+  m AS (
+    SELECT event_type,
+           {moments}
+    FROM l GROUP BY 1
+  )
+{arms}
+"""
+
+
+@register("acf_events", _acf_oracle(_ACF_LAGS))
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series per event_type
+    at lags 1/2/3/6/12/24 (O129, operators/overtime.py acf_grouped) —
+    the periodicity diagnostic behind the seasonal detectors: a strong
+    lag-24 peak is WHY seasonal_profile conditions on hour-of-day.
+    Integer counts ⇒ all per-lag moments exact BIGINTs (conditional
+    sums over the overlap), each r the pinned two-sqrt expression.  One
+    series-key Exchange feeds one shared Window (all six lag columns
+    ride one sort) + the aggregate; long form via exploded literal
+    structs — all codegen."""
+    from fischer_spark.operators.overtime import acf_grouped
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return acf_grouped(s, ["event_type"], "x", _ACF_LAGS)
+
+
+# --------------------------------------------------------------------------
+# O130 — Kendall tau-b (operators/overtime.py kendall_grouped): the
+# concordance member of the association family, per (event_type, day).
+# --------------------------------------------------------------------------
+
+@register(
+    "kendall_daily_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(abs(value) * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2, 3
+  ),
+  p AS (
+    SELECT a.event_type, a.day,
+           b.x - a.x AS dx, b.y - a.y AS dy
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.day = b.day
+     AND a.bucket_ts < b.bucket_ts
+  ),
+  g AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM p GROUP BY 1, 2
+  )
+  SELECT event_type, day, n0, nc, nd, n1, n2,
+         CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0 THEN
+           CAST(nc - nd AS DOUBLE)
+           / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)))
+         END AS tau_b
+  FROM g
+""",
+)
+def kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hourly count and hourly cents volume per
+    (event_type, day) (O130, operators/overtime.py kendall_grouped) —
+    completes the association family: Pearson (linear, O122), Spearman
+    (monotone-by-rank-distance, O125), tau (monotone-by-concordance,
+    tie-corrected exactly).  Every pair count an exact BIGINT from one
+    intra-group self-equi-join pass; tau_b is the pinned two-sqrt
+    expression over pure integers.  The pair join keys ON the group —
+    pairs never cross partitions, w=24 bounds the quadratic."""
+    from fischer_spark.operators.overtime import kendall_grouped
+
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.abs(F.col("value")) * 100).cast("long")).alias("y"),
+    )
+    return kendall_grouped(s, ["event_type", "day"], "x", "y")
+
+
+# --------------------------------------------------------------------------
+# O131 — Fano factor (index of dispersion): variance-to-mean of hourly
+# counts per (event_type, day) — the burstiness scalar (Poisson ⇒ 1;
+# hot-domain crawl bursts push it well above).
+# --------------------------------------------------------------------------
+
+@register(
+    "fano_daily_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2, 3
+  ),
+  m AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM s GROUP BY 1, 2
+  )
+  SELECT event_type, day, n, sx AS total_events,
+         CASE WHEN n > 1 AND sx > 0 THEN
+           CAST(n * sxx - sx * sx AS DOUBLE) / CAST((n - 1) * sx AS DOUBLE)
+         END AS fano
+  FROM m
+""",
+)
+def fano_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of hourly event counts per
+    (event_type, day) (O131): sample-variance / mean, the burstiness
+    scalar — 1 for a Poisson arrival process, >1 for bursty traffic
+    (the hot-domain crawl-burst smell the salted rollup path guards
+    against), <1 for rate-limited/uniform flows.  Algebra folds
+    s²/mean into ONE pinned division over exact BIGINTs:
+    (n·Σx² − (Σx)²) / ((n−1)·Σx).  Two stacked partial-aggregated
+    groupBys (hour pre-agg, then day) — no window, no Python, NULL
+    where undefined (n ≤ 1 or zero mean)."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    x = F.col("x").cast("long")
+    m = s.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    fano = (n * sxx - sx * sx).cast("double") / ((n - 1) * sx).cast("double")
+    return m.select(
+        "event_type",
+        "day",
+        "n",
+        sx.alias("total_events"),
+        F.when((n > 1) & (sx > 0), fano).alias("fano"),
+    )

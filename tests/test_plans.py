@@ -489,3 +489,44 @@ def test_source_entropy_shuffles_mixture_not_documents(spark):
     # ReadSchema must prune to the two mixture columns — never text
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "text" not in m.group(1)
+
+
+def test_acf_single_window_all_lags(spark):
+    """acf_events: all six lag columns ride ONE Window node (one
+    in-partition sort); hourly pre-agg + series-key regroup are the
+    only Exchanges; the long-form emit is a Generate over a literal
+    struct array — zero Python, no join."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["acf_events"](spark, SF))
+    assert p.count(") Window") == 1
+    assert 1 <= p.count(") Exchange") <= 2
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_kendall_pair_join_keyed_no_cartesian(spark):
+    """kendall_daily_events: the pair build is an equi-join ON the
+    group key (theil_sen shape) — never cartesian/BNLJ; tie/concord
+    counters are conditional sums, all codegen, no Window."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["kendall_daily_events"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ") Window" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    assert p.count(") Exchange") <= 4
+
+
+def test_fano_two_stacked_aggs_only(spark):
+    """fano_daily_events: hour pre-agg + day agg — two stacked
+    partial-aggregated groupBys, nothing else (no window, no join,
+    no Python)."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["fano_daily_events"](spark, SF))
+    assert ") Window" not in p and "Join" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert p.count(") Exchange") <= 2
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p

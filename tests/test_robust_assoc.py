@@ -149,3 +149,107 @@ def test_source_entropy_bounds(spark):
         assert 0.0 < r["top_share"] <= 1.0
         if r["n_sources"] == 1:
             assert r["entropy10"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# O129 ACF / O130 Kendall tau-b / O131 Fano factor
+# ---------------------------------------------------------------------------
+
+from fischer_spark.operators.overtime import acf_grouped, kendall_grouped
+
+
+def test_acf_alternating_series(spark):
+    # x alternates 10, 20: lag-1 pairs are perfectly anti-correlated,
+    # lag-2 pairs perfectly correlated
+    xs = [10 if i % 2 == 0 else 20 for i in range(40)]
+    df = _mk(spark, xs, xs)  # y unused
+    out = {r["lag"]: r for r in
+           acf_grouped(df, ["k"], "x", [1, 2]).collect()}
+    assert abs(out[1]["acf"] + 1.0) < 1e-12
+    assert abs(out[2]["acf"] - 1.0) < 1e-12
+    assert out[1]["n"] == 39 and out[2]["n"] == 38
+
+
+def test_acf_constant_series_null(spark):
+    df = _mk(spark, [7] * 10, [7] * 10)
+    out = acf_grouped(df, ["k"], "x", [1]).collect()
+    assert out[0]["acf"] is None and out[0]["n"] == 9
+
+
+def test_acf_lag_beyond_series_null(spark):
+    df = _mk(spark, [1, 2, 3], [0, 0, 0])
+    out = {r["lag"]: r for r in acf_grouped(df, ["k"], "x", [1, 5]).collect()}
+    assert out[5]["n"] == 0 and out[5]["acf"] is None
+    assert out[1]["n"] == 2
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1000, size=200).tolist()
+    df = _mk(spark, xs, xs)
+    out = {r["lag"]: r["acf"] for r in
+           acf_grouped(df, ["k"], "x", [1, 7]).collect()}
+    for k in (1, 7):
+        a = np.array(xs[k:], dtype=float)
+        b = np.array(xs[:-k], dtype=float)
+        expect = np.corrcoef(a, b)[0, 1]
+        assert abs(out[k] - expect) < 1e-9
+
+
+def test_kendall_perfect_and_reversed(spark):
+    xs = [1, 2, 3, 4, 5, 6]
+    r = kendall_grouped(_mk(spark, xs, [x * 3 for x in xs]),
+                        ["k"], "x", "y").collect()[0]
+    assert r["nc"] == 15 and r["nd"] == 0 and abs(r["tau_b"] - 1.0) < 1e-12
+    r = kendall_grouped(_mk(spark, xs, [-x for x in xs]),
+                        ["k"], "x", "y").collect()[0]
+    assert r["nd"] == 15 and abs(r["tau_b"] + 1.0) < 1e-12
+
+
+def test_kendall_tie_correction_hand_computed(spark):
+    # x = [1, 1, 2], y = [5, 6, 7]: pairs (0,1): dx=0 -> tie_x;
+    # (0,2): concordant; (1,2): concordant.
+    # n0=3, nc=2, nd=0, n1=1, n2=0 -> tau_b = 2 / sqrt(2*3) = 0.8164965...
+    r = kendall_grouped(_mk(spark, [1, 1, 2], [5, 6, 7]),
+                        ["k"], "x", "y").collect()[0]
+    assert (r["n0"], r["nc"], r["nd"], r["n1"], r["n2"]) == (3, 2, 0, 1, 0)
+    assert abs(r["tau_b"] - 2.0 / math.sqrt(6.0)) < 1e-12
+
+
+def test_kendall_all_tied_null(spark):
+    r = kendall_grouped(_mk(spark, [4, 4, 4], [1, 2, 3]),
+                        ["k"], "x", "y").collect()[0]
+    assert r["tau_b"] is None and r["n1"] == 3
+
+
+def test_fano_hand_computed(spark):
+    # hourly counts [2, 6]: mean 4, sample var 8 -> fano = 2.0 exactly;
+    # constant [4,4,4]: var 0 -> fano 0.0
+    import fischer_spark.queries_extended  # noqa: F401
+    from fischer_spark.queries import QUERIES
+    import os, tempfile
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h, c in [(0, 2), (1, 6)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(hours=h, minutes=eid % 60),
+                         f"u{eid}", "view", 1.0, "{}"))
+    for h, c in [(0, 4), (1, 4), (2, 4)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(hours=h, minutes=eid % 60),
+                         f"u{eid}", "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: string, event_type: string,"
+        " value: double, props: string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r
+               for r in QUERIES["fano_daily_events"](spark, td).collect()}
+    assert out["view"]["fano"] == 2.0 and out["view"]["total_events"] == 8
+    assert out["click"]["fano"] == 0.0 and out["click"]["n"] == 3

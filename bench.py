@@ -139,6 +139,9 @@ def main() -> None:
         "acf_events",
         "kendall_daily_events",
         "fano_daily_events",
+        "seasonal_strength_events",
+        "interarrival_events",
+        "vocab_uniqueness_sources",
     ]
     timings: dict[str, float] = {}
 

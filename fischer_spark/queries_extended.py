@@ -3167,3 +3167,186 @@ def fano_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.alias("total_events"),
         F.when((n > 1) & (sx > 0), fano).alias("fano"),
     )
+
+
+# --------------------------------------------------------------------------
+# O132 — seasonal strength (one-way ANOVA eta² of the hour-of-day
+# factor): WHAT FRACTION of hourly-count variance the seasonal profile
+# explains — the "should you even run the seasonal detector here?"
+# diagnostic.
+# --------------------------------------------------------------------------
+
+@register(
+    "seasonal_strength_events",
+    """
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(date_part('hour', ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2, 3
+  ),
+  hod AS (
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS nh,
+           CAST(sum(x) AS BIGINT) AS sh
+    FROM s GROUP BY 1, 2
+  ),
+  terms AS (
+    SELECT event_type,
+           CAST(sh * sh AS DOUBLE) / CAST(nh AS DOUBLE) AS t
+    FROM hod
+  ),
+  tot AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM s GROUP BY 1
+  ),
+  ssb AS (
+    SELECT event_type,
+           list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sb
+    FROM terms GROUP BY 1
+  )
+  SELECT tot.event_type, tot.n,
+         CASE WHEN tot.n * tot.sxx - tot.sx * tot.sx > 0 THEN
+           (CAST(tot.n AS DOUBLE) * ssb.sb
+            - CAST(tot.sx AS DOUBLE) * CAST(tot.sx AS DOUBLE))
+           / CAST(tot.n * tot.sxx - tot.sx * tot.sx AS DOUBLE)
+         END AS eta2
+  FROM tot JOIN ssb USING (event_type)
+""",
+)
+def seasonal_strength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength (O132): one-way ANOVA eta² of the hour-of-day
+    factor on hourly counts per event_type — the fraction of variance
+    the seasonal profile explains (eta²→1: strongly diurnal, run the
+    seasonal detector; eta²→0: the profile is noise, prefer the rolling
+    z-score).  Quantifies the assumption seasonal_profile_events bakes
+    in.  Float contract: per-hod terms Sh²/nh are one division each
+    from exact BIGINTs, folded in SORTED order (the source-entropy
+    move); eta² is one pinned closing expression over those plus exact
+    integer totals.  Scale shape: hourly pre-agg, then two tiny stacked
+    aggs (24 hods × types) + a broadcast-sized join — no window, no
+    Python."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        F.hour(F.col("ts")).cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    x = F.col("x").cast("long")
+    hod = s.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(x).alias("sh"),
+    )
+    # integer-side product then ONE cast, mirroring the oracle's
+    # CAST(sh * sh AS DOUBLE) (exact for sh < 3e9)
+    terms = hod.select(
+        "event_type",
+        ((F.col("sh") * F.col("sh")).cast("double")
+         / F.col("nh").cast("double")).alias("t"),
+    )
+    ssb = terms.groupBy("event_type").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, v: a + v
+        ).alias("sb")
+    )
+    tot = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sst = n * sxx - sx * sx
+    eta2 = (
+        n.cast("double") * F.col("sb") - sx.cast("double") * sx.cast("double")
+    ) / sst.cast("double")
+    return tot.join(F.broadcast(ssb), "event_type").select(
+        "event_type", "n", F.when(sst > 0, eta2).alias("eta2")
+    )
+
+
+# --------------------------------------------------------------------------
+# O133 — inter-arrival gap statistics: the cadence read (discrete
+# median + exact extremes of per-type event gaps in integer µs).
+# --------------------------------------------------------------------------
+
+@register(
+    "interarrival_events",
+    """
+  WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS gap_us,
+           ts, event_id
+    FROM events
+  ),
+  ng AS (
+    SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us, ts, event_id
+    FROM g WHERE gap_us IS NOT NULL
+  ),
+  r AS (
+    SELECT event_type, gap_us,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY gap_us, ts, event_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM ng
+  ),
+  med AS (
+    SELECT event_type, n AS n_gaps, gap_us AS median_gap_us
+    FROM r WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS INT)
+  ),
+  agg AS (
+    SELECT event_type,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM ng GROUP BY 1
+  )
+  SELECT med.event_type, med.n_gaps, med.median_gap_us,
+         agg.min_gap_us, agg.max_gap_us
+  FROM med JOIN agg USING (event_type)
+""",
+)
+def interarrival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event_type (O133): the cadence
+    read — discrete median (the theil_sen selection convention: the
+    ceil(n/2)-th element under the (gap, ts, event_id) total order — no
+    interpolation to diverge) plus exact min/max of consecutive-event
+    gaps in integer microseconds.  The stream-side analogue of
+    Prometheus' scrape-interval estimation (rate()'s extrapolation
+    window assumes a cadence; this measures it), and the stale_series
+    threshold picker.  All integers — hash-safe.  Scale shape: one
+    series-key Exchange + in-partition sort shared by the lag window
+    and the rank window; extremes are a partial-aggregated groupBy;
+    final join broadcast (one row per type)."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+         ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    rw = Window.partitionBy("event_type").orderBy("gap_us", "ts", "event_id")
+    cw = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n"),
+    )
+    med = r.filter(
+        F.col("rn") == F.ceil(F.col("n").cast("double") / 2.0).cast("int")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.col("gap_us").alias("median_gap_us"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return med.join(F.broadcast(agg), "event_type")

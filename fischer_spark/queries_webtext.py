@@ -1693,3 +1693,61 @@ def source_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("entropy10"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O134 — per-source vocabulary uniqueness: how much of each crawl
+# source's vocabulary is its own vs shared corpus stock — the
+# redundancy/novelty read next to O128's mixture entropy.
+# --------------------------------------------------------------------------
+
+@register(
+    "vocab_uniqueness_sources",
+    f"""
+  WITH st AS (
+    SELECT DISTINCT source, unnest({_TOK_DUCK}) AS tok
+    FROM documents WHERE trim(text) <> ''
+  ),
+  df AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_sources FROM st GROUP BY 1
+  )
+  SELECT st.source,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique_tokens,
+         CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS unique_ratio
+  FROM st JOIN df USING (tok)
+  GROUP BY 1
+""",
+)
+def vocab_uniqueness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary uniqueness (O134): of each crawl source's
+    DISTINCT tokens, the count and fraction appearing in NO other
+    source — high unique_ratio flags a source contributing genuinely
+    novel vocabulary (keep it), near-zero flags redundant restatement
+    of the corpus' shared stock (a dedup/downweight candidate).  The
+    vocabulary-level complement of O128's document-count entropy.
+    Exact integers to one closing division.  Scale shape: the
+    rare_token_ratio plan — (source, token) DISTINCT pairs, a
+    token-keyed document-frequency groupBy, token-keyed join back,
+    source-keyed final agg; shuffles carry tokens, never text, and
+    cardinality is vocabulary-sized."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    st = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(F.expr(_TOK_SPARK)).alias("tok"))
+        .distinct()
+    )
+    df_ = st.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    uniq = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        st.join(df_, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            uniq.cast("long").alias("n_unique_tokens"),
+            (uniq.cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("unique_ratio"),
+        )
+    )

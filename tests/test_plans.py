@@ -530,3 +530,45 @@ def test_fano_two_stacked_aggs_only(spark):
     assert "partial_count" in p or "partial_sum" in p
     assert p.count(") Exchange") <= 2
     assert "ArrowEval" not in p and "BatchEvalPython" not in p
+
+
+def test_seasonal_strength_agg_only_pruned(spark):
+    """seasonal_strength_events: aggregation-only shape (no Window),
+    hod/total branches rejoin broadcast-side, ReadSchema pruned to
+    (ts, event_type) — never value/props."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["seasonal_strength_events"](spark, SF))
+    assert ") Window" not in p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "value" not in m.group(1) and "props" not in m.group(1)
+
+
+def test_interarrival_one_series_exchange(spark):
+    """interarrival_events: the lag window and the rank window share
+    the ONE series-key Exchange (only the in-partition sort changes);
+    extremes join broadcast; all codegen."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["interarrival_events"](spark, SF))
+    assert p.count(") Exchange") <= 2
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+
+
+def test_vocab_uniqueness_token_shuffles_only(spark):
+    """vocab_uniqueness_sources: shuffles carry (source, token) pairs
+    and token DF counts — text is read (tokenized map-side) but never
+    shuffled; no window, no Python."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["vocab_uniqueness_sources"](spark, SF))
+    assert ") Window" not in p
+    assert "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    # no Exchange row should carry the text column
+    for seg in p.split("\n"):
+        if "Exchange" in seg:
+            assert "text" not in seg

@@ -253,3 +253,105 @@ def test_fano_hand_computed(spark):
                for r in QUERIES["fano_daily_events"](spark, td).collect()}
     assert out["view"]["fano"] == 2.0 and out["view"]["total_events"] == 8
     assert out["click"]["fano"] == 0.0 and out["click"]["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# O132 seasonal strength / O133 inter-arrival / O134 vocab uniqueness
+# ---------------------------------------------------------------------------
+
+import os
+import tempfile
+
+
+def _events_parquet(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: string, event_type: string,"
+        " value: double, props: string",
+    )
+    td = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+    return td
+
+
+def test_seasonal_strength_extremes(spark):
+    import fischer_spark.queries_extended  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 'pure': count depends ONLY on hour-of-day (h+1 events at hour h,
+    # identical across 3 days) -> eta2 == 1
+    for day in range(3):
+        for h in range(4):
+            for _ in range(h + 1):
+                eid += 1
+                rows.append((eid, d0 + dt.timedelta(days=day, hours=h,
+                                                    seconds=eid % 60),
+                             f"u{eid}", "pure", 1.0, "{}"))
+    # 'none': hod means all equal (2 then 4 alternating BY DAY, same for
+    # every hod) -> between-hod variance 0 -> eta2 == 0
+    for day in range(2):
+        for h in range(4):
+            for _ in range(2 if day == 0 else 4):
+                eid += 1
+                rows.append((eid, d0 + dt.timedelta(days=day, hours=h,
+                                                    seconds=eid % 60),
+                             f"u{eid}", "none", 1.0, "{}"))
+    # 'flat': constant count 3 everywhere -> SST == 0 -> NULL
+    for day in range(2):
+        for h in range(3):
+            for _ in range(3):
+                eid += 1
+                rows.append((eid, d0 + dt.timedelta(days=day, hours=h,
+                                                    seconds=eid % 60),
+                             f"u{eid}", "flat", 1.0, "{}"))
+    td = _events_parquet(spark, rows)
+    out = {r["event_type"]: r
+           for r in QUERIES["seasonal_strength_events"](spark, td).collect()}
+    assert abs(out["pure"]["eta2"] - 1.0) < 1e-12
+    assert abs(out["none"]["eta2"]) < 1e-12
+    assert out["flat"]["eta2"] is None
+
+
+def test_interarrival_hand_computed(spark):
+    import fischer_spark.queries_extended  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    d0 = dt.datetime(2024, 3, 1)
+    # gaps (seconds): 10, 30, 20, 40  -> sorted [10,20,30,40],
+    # n=4 -> rn ceil(4/2)=2 -> median 20s; min 10s; max 40s
+    offs = [0, 10, 40, 60, 100]
+    rows = [(i + 1, d0 + dt.timedelta(seconds=o), f"u{i}", "view", 1.0, "{}")
+            for i, o in enumerate(offs)]
+    td = _events_parquet(spark, rows)
+    r = QUERIES["interarrival_events"](spark, td).collect()[0]
+    assert r["n_gaps"] == 4
+    assert r["median_gap_us"] == 20_000_000
+    assert r["min_gap_us"] == 10_000_000
+    assert r["max_gap_us"] == 40_000_000
+
+
+def test_vocab_uniqueness_planted(spark):
+    import fischer_spark.queries_webtext  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    rows = [
+        (1, "the cat sat", "en", "srcA", 11),
+        (2, "the dog sat", "en", "srcA", 11),
+        (3, "the qwyjibo flurble", "en", "srcB", 19),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long")
+    td = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+    out = {r["source"]: r
+           for r in QUERIES["vocab_uniqueness_sources"](spark, td).collect()}
+    # srcA vocab: {the, cat, sat, dog} — 'the' shared with srcB
+    assert out["srcA"]["n_distinct_tokens"] == 4
+    assert out["srcA"]["n_unique_tokens"] == 3
+    assert out["srcA"]["unique_ratio"] == 0.75
+    # srcB vocab: {the, qwyjibo, flurble}
+    assert out["srcB"]["n_distinct_tokens"] == 3
+    assert out["srcB"]["n_unique_tokens"] == 2

@@ -142,6 +142,9 @@ def main() -> None:
         "seasonal_strength_events",
         "interarrival_events",
         "vocab_uniqueness_sources",
+        "gini_user_concentration_events",
+        "zipf_slope_sources",
+        "ccf_click_purchase_events",
     ]
     timings: dict[str, float] = {}
 

@@ -3350,3 +3350,164 @@ def interarrival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
     return med.join(F.broadcast(agg), "event_type")
+
+
+# --------------------------------------------------------------------------
+# O135 — Gini coefficient of per-user activity: how concentrated is
+# each event family on its heaviest users — the engagement-inequality
+# read behind the salted hot-key rollup path (a high-Gini family is
+# exactly where the skew handling earns its keep).
+# --------------------------------------------------------------------------
+
+@register(
+    "gini_user_concentration_events",
+    """
+  WITH s AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+  ),
+  r AS (
+    SELECT event_type, c,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY c, user_id) AS BIGINT) AS i
+    FROM s
+  )
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CASE WHEN count(*) > 1 AND sum(c) > 0 THEN
+           CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+           / CAST(count(*) * sum(c) AS DOUBLE)
+         END AS gini
+  FROM r GROUP BY 1
+""",
+)
+def gini_user_concentration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts per event_type (O135):
+    0 = every user equally active, ->1 = a few whales generate nearly
+    all events.  The engagement-concentration scalar motivating the
+    salted hot-key path the same way Fano (O131) motivates it in time:
+    a high-Gini family has skewed shuffle keys BY MEASUREMENT.  Uses
+    the rank identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted counts — every term an exact BIGINT under a
+    pinned (c, user_id) total order (ties commute: equal c makes
+    sum(i*c) invariant to rank order within the tie block), ONE closing
+    division.  Scale shape: user-keyed partial-aggregated groupBy, one
+    series-key Exchange + in-partition sort for the rank window, final
+    tiny agg — no join, no Python."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    r = s.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum("c").cast("long")
+    sic = F.sum(F.col("i") * F.col("c")).cast("long")
+    gini = (
+        (F.lit(2) * sic - (n + F.lit(1)) * sx).cast("double")
+        / (n * sx).cast("double")
+    )
+    return r.groupBy("event_type").agg(
+        n.alias("n_users"),
+        sx.alias("n_events"),
+        F.when((n > 1) & (sx > 0), gini).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O137 — lead/lag cross-correlation between the click and purchase
+# hourly-count series: WHICH horizon couples the two funnels — the
+# cross-series member of the association family (ACF O129 is the
+# self-correlation special case).
+# --------------------------------------------------------------------------
+
+_CCF_LAGS = [0, 1, 2, 3, 6, 12, 24]
+
+
+@register(
+    "ccf_click_purchase_events",
+    f"""
+  WITH s AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+  ),
+  c AS (SELECT bucket_ts, x FROM s WHERE event_type = 'click'),
+  p AS (SELECT bucket_ts, x AS y FROM s WHERE event_type = 'purchase'),
+  l AS (SELECT unnest([{', '.join(str(k) for k in _CCF_LAGS)}]) AS lag_h),
+  j AS (
+    SELECT l.lag_h, c.x, p.y
+    FROM l JOIN c ON true
+    JOIN p ON p.bucket_ts = c.bucket_ts + to_hours(l.lag_h)
+  ),
+  m AS (
+    SELECT lag_h,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM j GROUP BY 1
+  )
+  SELECT CAST(lag_h AS BIGINT) AS lag_h, n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         END AS r
+  FROM m
+""",
+)
+def ccf_click_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase hourly
+    count series at lead lags 0/1/2/3/6/12/24 h (O137): Pearson r of
+    (clicks at t, purchases at t+k) over co-observed hour pairs — the
+    lead/lag-discovery read ("purchases trail clicks by WHICH horizon")
+    that picks the as-of tolerance and the funnel window; ACF (O129) is
+    the x==y special case of this.  Integer counts => all six moments
+    exact BIGINTs; each r the pinned two-sqrt closing expression, NULL
+    on degenerate variance.  Scale shape: one hourly pre-agg (one
+    Exchange), the lag fan-out is a 7-way literal explode on the
+    bucket-count rows (cardinality = hours x 7, never events), the
+    purchase side joins BROADCAST (one row per hour); final tiny
+    per-lag agg — all codegen, no Python."""
+    ev = scan_testdata(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    c = s.filter(F.col("event_type") == "click").select("bucket_ts", "x")
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.col("bucket_ts").alias("p_ts"), F.col("x").alias("y")
+    )
+    lagged = c.select(
+        F.explode(F.array(*[F.lit(k) for k in _CCF_LAGS])).alias("lag_h"),
+        "bucket_ts",
+        "x",
+    ).withColumn(
+        "tgt", F.expr("timestampadd(HOUR, lag_h, bucket_ts)")
+    )
+    j = lagged.join(F.broadcast(p), lagged["tgt"] == p["p_ts"])
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum("x").cast("long")
+    sy = F.sum("y").cast("long")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("long")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("long")
+    syy = F.sum(F.col("y") * F.col("y")).cast("long")
+    m = j.groupBy(F.col("lag_h").cast("long").alias("lag_h")).agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return m.select(
+        "lag_h", "n", F.when((vx > 0) & (vy > 0), r).alias("r")
+    )

@@ -1751,3 +1751,107 @@ def vocab_uniqueness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unique_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O136 — per-source Zipf slope: OLS fit of log10(freq) on log10(rank)
+# over the top token ranks — natural language sits near -1; flat or
+# cliff-shaped slopes flag templated/generated text at the SOURCE
+# level, complementing the per-document repetition signals.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+@register(
+    "zipf_slope_sources",
+    f"""
+  WITH tc AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT source, unnest({_TOK_DUCK}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ) GROUP BY 1, 2
+  ),
+  rk AS (
+    SELECT source, c,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, tok) AS BIGINT) AS i
+    FROM tc
+  ),
+  t AS (
+    SELECT source,
+           log10(CAST(i AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y,
+           log10(CAST(i AS DOUBLE)) * log10(CAST(c AS DOUBLE)) AS xy,
+           log10(CAST(i AS DOUBLE)) * log10(CAST(i AS DOUBLE)) AS xx
+    FROM rk WHERE i <= {_ZIPF_TOPK}
+  ),
+  a AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+           list_reduce(list_sort(list(x)), (a, b) -> a + b) AS s_x,
+           list_reduce(list_sort(list(y)), (a, b) -> a + b) AS s_y,
+           list_reduce(list_sort(list(xy)), (a, b) -> a + b) AS s_xy,
+           list_reduce(list_sort(list(xx)), (a, b) -> a + b) AS s_xx
+    FROM t GROUP BY 1
+  )
+  SELECT source, n_ranks,
+         CASE WHEN n_ranks > 1 THEN
+           (CAST(n_ranks AS DOUBLE) * s_xy - s_x * s_y)
+           / (CAST(n_ranks AS DOUBLE) * s_xx - s_x * s_x)
+         END AS zipf_slope
+  FROM a
+""",
+)
+def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (O136): OLS slope of log10(token freq) on
+    log10(rank) over each source's top {100} token ranks — natural
+    language follows Zipf's law with slope near -1 (freq ~ rank^-1);
+    a much flatter slope flags templated/boilerplate-heavy sources and
+    a cliff flags tiny-vocabulary generated text, at the SOURCE level
+    where the per-document repetition signals (O40) can't see.  Float
+    contract: ranks and counts are exact BIGINTs under a pinned
+    (c DESC, tok) total order; x/y/xy/xx are per-row doubles from one
+    correctly-rounded log10 each (the unigram_logprob precedent), and
+    each of the four sums folds its SORTED list on both engines — bit-
+    exact regardless of partial-aggregation order; the slope is one
+    pinned closing expression.  Scale shape: token-keyed partial-agg
+    groupBy (shuffles carry (source, token) counts, never text), one
+    source-keyed rank window capped at top-100 rows per source, then a
+    tiny fold agg — no join, no Python."""
+    d = scan_testdata(spark, sf_dir, "documents")
+    tc = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(F.expr(_TOK_SPARK)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    rk = tc.select(
+        "source", "c", F.row_number().over(w).cast("long").alias("i")
+    ).filter(F.col("i") <= _ZIPF_TOPK)
+    x = F.log10(F.col("i").cast("double"))
+    y = F.log10(F.col("c").cast("double"))
+    t = rk.select(
+        "source",
+        x.alias("x"), y.alias("y"),
+        (x * y).alias("xy"), (x * x).alias("xx"),
+    )
+
+    def _fold(col: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v
+        )
+
+    a = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        _fold("x").alias("s_x"), _fold("y").alias("s_y"),
+        _fold("xy").alias("s_xy"), _fold("xx").alias("s_xx"),
+    )
+    nd = F.col("n_ranks").cast("double")
+    slope = (nd * F.col("s_xy") - F.col("s_x") * F.col("s_y")) / (
+        nd * F.col("s_xx") - F.col("s_x") * F.col("s_x")
+    )
+    return a.select(
+        "source", "n_ranks",
+        F.when(F.col("n_ranks") > 1, slope).alias("zipf_slope"),
+    )

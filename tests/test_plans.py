@@ -572,3 +572,44 @@ def test_vocab_uniqueness_token_shuffles_only(spark):
     for seg in p.split("\n"):
         if "Exchange" in seg:
             assert "text" not in seg
+
+
+def test_gini_one_rank_window_no_join(spark):
+    """gini_user_concentration_events: user-keyed partial agg, ONE rank
+    window on the series key, tiny final agg — no join, no Python."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["gini_user_concentration_events"](spark, SF))
+    assert p.count(") Window") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+
+
+def test_ccf_broadcast_lag_join_pruned(spark):
+    """ccf_click_purchase_events: hourly pre-agg, literal lag explode on
+    bucket-count rows, purchase side joined BROADCAST, pruned scan."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["ccf_click_purchase_events"](spark, SF))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "value" not in m.group(1) and "props" not in m.group(1)
+
+
+def test_zipf_token_shuffles_only(spark):
+    """zipf_slope_sources: text tokenized map-side, shuffles carry
+    (source, token) counts; one rank window; no join, no Python."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["zipf_slope_sources"](spark, SF))
+    # exactly one Window node; the rank<=100 filter ALSO surfaces as
+    # WindowGroupLimit partial/final pairs (Spark's top-k pushdown —
+    # each partition keeps only 100 rows before the Exchange)
+    assert p.count(") Window\n") == 1
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p
+    for seg in p.split("\n"):
+        if "Exchange" in seg:
+            assert "text" not in seg

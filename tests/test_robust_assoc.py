@@ -355,3 +355,89 @@ def test_vocab_uniqueness_planted(spark):
     # srcB vocab: {the, qwyjibo, flurble}
     assert out["srcB"]["n_distinct_tokens"] == 3
     assert out["srcB"]["n_unique_tokens"] == 2
+
+
+# ---------------------------------------------------------------------------
+# O135 Gini user concentration / O136 Zipf slope / O137 click->purchase CCF
+# ---------------------------------------------------------------------------
+
+
+def test_gini_hand_computed(spark):
+    import fischer_spark.queries_extended  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 'eq': 3 users x 2 events -> gini == 0
+    for u in range(3):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(seconds=eid), f"u{u}",
+                         "eq", 1.0, "{}"))
+    # 'whale': counts [1, 3] sorted asc -> n=2, sx=4, sum(i*c)=1+6=7,
+    # G = (14-12)/8 = 0.25 exactly
+    for u, c in [(0, 1), (1, 3)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(seconds=eid), f"w{u}",
+                         "whale", 1.0, "{}"))
+    # 'solo': one user -> NULL
+    eid += 1
+    rows.append((eid, d0 + dt.timedelta(seconds=eid), "s0", "solo", 1.0, "{}"))
+    td = _events_parquet(spark, rows)
+    out = {r["event_type"]: r
+           for r in QUERIES["gini_user_concentration_events"](spark, td)
+           .collect()}
+    assert out["eq"]["gini"] == 0.0 and out["eq"]["n_users"] == 3
+    assert out["whale"]["gini"] == 0.25 and out["whale"]["n_events"] == 4
+    assert out["solo"]["gini"] is None
+
+
+def test_ccf_planted_shift(spark):
+    import fischer_spark.queries_extended  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    d0 = dt.datetime(2024, 3, 1)
+    clicks = [1, 3, 2, 5]           # hourly click counts at hours 0..3
+    rows, eid = [], 0
+    for h, c in enumerate(clicks):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(hours=h, seconds=eid % 60),
+                         f"u{eid}", "click", 1.0, "{}"))
+    # purchases = the click series shifted one hour later -> CCF peaks
+    # EXACTLY at lag 1
+    for h, c in enumerate(clicks):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(hours=h + 1,
+                                                seconds=eid % 60),
+                         f"u{eid}", "purchase", 1.0, "{}"))
+    td = _events_parquet(spark, rows)
+    out = {r["lag_h"]: r
+           for r in QUERIES["ccf_click_purchase_events"](spark, td).collect()}
+    assert out[1]["n"] == 4 and abs(out[1]["r"] - 1.0) < 1e-12
+    assert out[0]["n"] == 3 and out[0]["r"] < 0.99  # misaligned overlap
+    assert 24 not in out  # no co-observed pairs that far out
+
+
+def test_zipf_slope_planted(spark):
+    import fischer_spark.queries_webtext  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    rows = [
+        # counts aa=4, bb=2 -> ranks 1,2; slope = log10(2/4)/log10(2) = -1
+        (1, "aa aa aa aa bb bb", "en", "srcA", 17),
+        # single distinct token -> n_ranks == 1 -> NULL slope
+        (2, "zz zz zz", "en", "srcB", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long")
+    td = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+    out = {r["source"]: r
+           for r in QUERIES["zipf_slope_sources"](spark, td).collect()}
+    assert out["srcA"]["n_ranks"] == 2
+    assert abs(out["srcA"]["zipf_slope"] + 1.0) < 1e-9
+    assert out["srcB"]["n_ranks"] == 1 and out["srcB"]["zipf_slope"] is None

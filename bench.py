@@ -145,6 +145,7 @@ def main() -> None:
         "gini_user_concentration_events",
         "zipf_slope_sources",
         "ccf_click_purchase_events",
+        "knn_label_purity_embeddings",
     ]
     timings: dict[str, float] = {}
 

@@ -1855,3 +1855,101 @@ def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_ranks",
         F.when(F.col("n_ranks") > 1, slope).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# O138 — 1-NN label purity: leave-one-out nearest-neighbor agreement of
+# the label column in embedding space — the label-coherence audit a
+# training-data pipeline runs BEFORE trusting labels for sampling or
+# eval splits (classifier-free: the embedding geometry itself votes).
+# --------------------------------------------------------------------------
+
+@register(
+    "knn_label_purity_embeddings",
+    """
+  WITH probes AS (
+    SELECT vec_id AS probe_id, label AS p_label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+    FROM embeddings WHERE vec_id < 50),
+  corpus AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+    FROM embeddings),
+  scored AS (
+    SELECT p.probe_id, p.p_label, e.label,
+           round(list_dot_product(p.pe, e.ce) /
+             (sqrt(list_dot_product(p.pe, p.pe))
+              * sqrt(list_dot_product(e.ce, e.ce))), 6) AS cos_sim,
+           e.vec_id
+    FROM probes p, corpus e
+    WHERE e.vec_id <> p.probe_id
+  ),
+  nn AS (
+    SELECT probe_id, p_label, label,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+  )
+  SELECT p_label AS label,
+         CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(CASE WHEN label = p_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+         CAST(sum(CASE WHEN label = p_label THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS purity
+  FROM nn WHERE rnk = 1
+  GROUP BY 1
+""",
+)
+def knn_label_purity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label purity (O138): for each probe vector,
+    does its cosine nearest neighbor (self excluded) carry the SAME
+    label?  Per-label agreement rate is the classifier-free label-
+    coherence audit run before trusting labels for stratified sampling
+    or eval splits — purity near 1 means the label partitions the
+    embedding space, near the label's base rate means the labels are
+    noise w.r.t. this embedding.  Exact under the cosine_topk float
+    convention: in-order zip_with/aggregate dot fold == DuckDB
+    list_dot_product on DOUBLE lists, round(cos, 6) absorbing last-ulp
+    noise, ties broken by (cos DESC, vec_id) total order; the purity is
+    one division over exact integers.  Scale shape: the probe set is
+    broadcast and the corpus scanned ONCE (brute-force is the audit/
+    oracle path — production kNN serves through the IVF/LSH ANN
+    operators); JVM higher-order functions, no Python."""
+    emb = scan_testdata(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("pe"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)"
+        " * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    sim = F.round(
+        F.expr(dot.format(a="pe", b="embedding"))
+        / (
+            F.sqrt(F.expr(dot.format(a="pe", b="pe")))
+            * F.sqrt(F.expr(dot.format(a="embedding", b="embedding")))
+        ),
+        6,
+    )
+    scored = pairs.select(
+        "probe_id", "p_label", "label", sim.alias("cos_sim"), "vec_id"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    nn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    agree = F.sum(F.when(F.col("label") == F.col("p_label"), 1).otherwise(0))
+    return nn.groupBy(F.col("p_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        agree.cast("long").alias("n_agree"),
+        (agree.cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("purity"),
+    )

@@ -613,3 +613,15 @@ def test_zipf_token_shuffles_only(spark):
     for seg in p.split("\n"):
         if "Exchange" in seg:
             assert "text" not in seg
+
+
+def test_knn_purity_broadcast_probe_scan(spark):
+    """knn_label_purity_embeddings: probe set broadcast, corpus scanned
+    once (BroadcastNestedLoopJoin is the audit-path shape, like
+    cosine_topk); dot products are JVM higher-order fns, no Python."""
+    from fischer_spark.queries import get_queries
+
+    p = plan_of(get_queries()["knn_label_purity_embeddings"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "ArrowEval" not in p and "BatchEvalPython" not in p

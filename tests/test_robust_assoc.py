@@ -441,3 +441,33 @@ def test_zipf_slope_planted(spark):
     assert out["srcA"]["n_ranks"] == 2
     assert abs(out["srcA"]["zipf_slope"] + 1.0) < 1e-9
     assert out["srcB"]["n_ranks"] == 1 and out["srcB"]["zipf_slope"] is None
+
+
+def test_knn_label_purity_planted(spark):
+    import fischer_spark.queries_webtext  # noqa: F401
+    from fischer_spark.queries import QUERIES
+
+    rows = [
+        # coherent cluster A
+        (0, [1.00, 0.00], "A"),
+        (1, [0.99, 0.01], "A"),
+        # coherent cluster B
+        (2, [0.00, 1.00], "B"),
+        (3, [0.01, 0.99], "B"),
+        # traitor: labeled A but sits EXACTLY on v2's direction
+        (4, [0.00, 1.00], "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: string")
+    td = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+    out = {r["label"]: r
+           for r in QUERIES["knn_label_purity_embeddings"](spark, td)
+           .collect()}
+    # A probes {0,1,4}: 0<->1 agree; 4's NN is v2 (cos 1.0, B) -> 2/3
+    assert out["A"]["n_probes"] == 3 and out["A"]["n_agree"] == 2
+    assert abs(out["A"]["purity"] - 2 / 3) < 1e-12
+    # B probes {2,3}: v2's NN is the traitor v4 (cos 1.0, A) -> miss;
+    # v3 ties v2/v4 on cos and the vec_id tiebreak picks v2 (B) -> hit
+    assert out["B"]["n_probes"] == 2 and out["B"]["n_agree"] == 1
+    assert out["B"]["purity"] == 0.5
